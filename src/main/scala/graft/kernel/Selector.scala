@@ -1,0 +1,333 @@
+package graft.kernel
+
+import scala.collection.mutable.ArrayBuffer
+
+/** One descendant part of a compiled selector:
+  * `tag#id.c1.c2[a][b=v]` (reference parseCompleteSelector,
+  * /root/reference/src/index.ts:666–685).
+  */
+final case class AttrPred(key: String, op: String, value: String) {
+  /** Evaluated on the element's DECODED attributes (src/index.ts:743–777).
+    * All comparisons case-sensitive. `!=` is true when the attr is absent.
+    */
+  def eval(el: Element): Boolean = {
+    val v = el.attributes.get(key) // null when absent
+    op match {
+      case "=" => v != null && v == value
+      case "!=" => v == null || v != value
+      case "^=" => v != null && v.startsWith(value)
+      case "$=" => v != null && v.endsWith(value)
+      case "*=" => v != null && v.contains(value)
+      case "|=" => v != null && (v == value || v.startsWith(value + "-"))
+      case "~=" => v != null && Js.splitWs(v).contains(value)
+      case _ => v != null // bare existence
+    }
+  }
+}
+
+final case class SelectorPart(
+    tag: String,
+    id: String,
+    classes: List[String],
+    attrs: List[AttrPred]) {
+  def matches(el: Element): Boolean = {
+    if (tag.nonEmpty && tag != "*" && el.tagName != tag) return false
+    if (id.nonEmpty && el.id != id) return false
+    var cs = classes
+    while (cs.nonEmpty) {
+      if (!el.classNames.contains(cs.head)) return false
+      cs = cs.tail
+    }
+    var as = attrs
+    while (as.nonEmpty) {
+      if (!as.head.eval(el)) return false
+      as = as.tail
+    }
+    true
+  }
+}
+
+object Selector {
+
+  private def isWordChar(c: Char): Boolean = // \w
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+  private def isWordDash(c: Char): Boolean = isWordChar(c) || c == '-' // [\w-]
+  private def isTagStart(c: Char): Boolean = // [a-zA-Z_*]
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_' || c == '*'
+  private def isTagChar(c: Char): Boolean = // [\w:-]
+    isWordChar(c) || c == ':' || c == '-'
+  private def isAttrKeyChar(c: Char): Boolean = // [^\s~|^$*!=] (within [...])
+    !Js.isSpace(c) && c != '~' && c != '|' && c != '^' && c != '$' &&
+      c != '*' && c != '!' && c != '='
+
+  /** Compile one comma-free selector into descendant parts, cloning the
+    * reference's part regex semantics (src/index.ts:669): a part starts at ^
+    * or after a whitespace run; attr `[...]` blocks may contain whitespace
+    * (so `div[title="Hello World"] p` is two parts); unparseable suffixes are
+    * discarded and scanning resumes at the next whitespace run.
+    */
+  def compile(selector: String): Array[SelectorPart] = {
+    val parts = ArrayBuffer.empty[SelectorPart]
+    val n = selector.length
+    var i = 0
+    var atPartStart = true // position 0 counts as a start without leading ws
+    while (i < n) {
+      if (!atPartStart) {
+        // scan forward to the next whitespace run, then past it
+        while (i < n && !Js.isSpace(selector.charAt(i))) i += 1
+        while (i < n && Js.isSpace(selector.charAt(i))) i += 1
+      }
+      if (i < n) {
+        val (part, end) = parsePartAt(selector, i)
+        if (end > i) {
+          if (part != null) parts += part
+          i = end
+        }
+        atPartStart = false
+      }
+    }
+    parts.toArray
+  }
+
+  /** Parse one selector part starting exactly at `i`; returns (part|null,
+    * endPos). endPos == i means nothing matched at this position.
+    */
+  private def parsePartAt(s: String, start: Int): (SelectorPart, Int) = {
+    val n = s.length
+    var i = start
+    var tag = ""
+    var id = ""
+    var classes = List.empty[String]
+    var attrs = List.empty[AttrPred]
+    // tag: [a-zA-Z_*][\w:-]*
+    if (i < n && isTagStart(s.charAt(i))) {
+      var j = i + 1
+      while (j < n && isTagChar(s.charAt(j))) j += 1
+      tag = s.substring(i, j)
+      i = j
+    }
+    // #id ([\w-]+, at least one char)
+    var halted = false
+    if (!halted && i < n && s.charAt(i) == '#') {
+      var j = i + 1
+      while (j < n && isWordDash(s.charAt(j))) j += 1
+      if (j > i + 1) { id = s.substring(i + 1, j); i = j }
+      else halted = true
+    }
+    // .c1.c2…
+    if (!halted && i < n && s.charAt(i) == '.') {
+      val cls = ArrayBuffer.empty[String]
+      var k = i
+      var more = true
+      while (more && k < n && s.charAt(k) == '.') {
+        var j = k + 1
+        while (j < n && isWordDash(s.charAt(j))) j += 1
+        if (j > k + 1) { cls += s.substring(k + 1, j); k = j }
+        else more = false
+      }
+      if (cls.nonEmpty) { classes = cls.toList; i = k }
+      else halted = true
+    }
+    // ([...])+ — content may include whitespace, just not ']'
+    while (!halted && i < n && s.charAt(i) == '[') {
+      val close = s.indexOf(']', i + 1)
+      if (close > i + 1) {
+        val pred = parseAttrBlock(s.substring(i + 1, close))
+        if (pred != null) attrs = attrs :+ pred
+        i = close + 1
+      } else halted = true
+    }
+    if (i == start) (null, start)
+    else (SelectorPart(tag, id, classes, attrs), i)
+  }
+
+  /** Parse the inside of one `[...]` block (reference parseAttributes regex,
+    * src/index.ts:694). Returns null when the block doesn't fit the grammar
+    * (such blocks contribute no predicate — quirk).
+    */
+  private def parseAttrBlock(s: String): AttrPred = {
+    val n = s.length
+    var i = 0
+    while (i < n && isAttrKeyChar(s.charAt(i))) i += 1
+    if (i == 0) return null
+    val key = s.substring(0, i)
+    // bare existence: the regex requires `]` right after the key when no
+    // operator follows — even trailing whitespace makes the block unmatched
+    if (i == n) return AttrPred(key, "", "")
+    while (i < n && Js.isSpace(s.charAt(i))) i += 1
+    if (i == n) return null
+    // operator
+    val ops = Array("!=", "^=", "$=", "*=", "|=", "~=", "=")
+    var op: String = null
+    var oi = 0
+    while (op == null && oi < ops.length) {
+      if (s.startsWith(ops(oi), i)) op = ops(oi)
+      oi += 1
+    }
+    if (op == null) return null
+    i += op.length
+    while (i < n && Js.isSpace(s.charAt(i))) i += 1
+    // value: ["']? [^"'\]]* ["']?  — must reach end of block
+    if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) i += 1
+    var j = i
+    while (j < n && s.charAt(j) != '"' && s.charAt(j) != '\'') j += 1
+    val value = s.substring(i, j)
+    if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
+    if (j != n) return null // leftover chars → regex fails → no predicate
+    AttrPred(key, op, value)
+  }
+}
+
+/** Stateful matcher over compiled selector parts — public API parity with the
+  * reference Matcher (advance/rewind/matched/reset/level/clone,
+  * src/index.ts:651–830).
+  */
+final class Matcher private (val parts: Array[SelectorPart], private var nextMatch: Int) {
+  def this(selector: String) = this(Selector.compile(selector), 0)
+
+  def advance(el: Element): Boolean = {
+    if (nextMatch < parts.length && parts(nextMatch).matches(el)) {
+      nextMatch += 1
+      true
+    } else false
+  }
+  def rewind(): Unit = nextMatch -= 1
+  def matched: Boolean = nextMatch == parts.length
+  def reset(): Unit = nextMatch = 0
+  def level: Int = nextMatch
+  def clone_(): Matcher = new Matcher(parts, nextMatch)
+}
+
+/** querySelector / querySelectorAll search (reference querySelectorImpl,
+  * src/index.ts:400–476). The dual rewound/advanced exploration in all-mode —
+  * including its non-document-order result concatenation and the Set dedup
+  * for string selectors — is replicated exactly.
+  */
+object Query {
+
+  def querySelectorAll(root: Element, selector: String): ArrayBuffer[Element] = {
+    val parts = selector.split(',').iterator
+      .filter(p => Js.trim(p).nonEmpty).map(Js.trim).toArray
+    val out = ArrayBuffer.empty[Element]
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Element, java.lang.Boolean])
+    parts.foreach { part =>
+      val res = ArrayBuffer.empty[Element]
+      exploreAll(root, Selector.compile(part), 0, res)
+      res.foreach { el => if (seen.add(el)) out += el }
+    }
+    out
+  }
+
+  def querySelectorAll(root: Element, matcher: Matcher): ArrayBuffer[Element] = {
+    matcher.reset()
+    val res = ArrayBuffer.empty[Element]
+    exploreAll(root, matcher.parts, 0, res)
+    res
+  }
+
+  def querySelector(root: Element, selector: String): Option[Element] = {
+    val parts = selector.split(',').iterator
+      .map(Js.trim).filter(_.nonEmpty).toArray
+    var i = 0
+    while (i < parts.length) {
+      val r = exploreOne(root, Selector.compile(parts(i)), 0)
+      if (r != null) return Some(r)
+      i += 1
+    }
+    None
+  }
+
+  def querySelector(root: Element, matcher: Matcher): Option[Element] = {
+    matcher.reset()
+    Option(exploreOne(root, matcher.parts, 0))
+  }
+
+  /** all-mode explore: on advance, descendants are explored twice — once with
+    * the rewound level (same part may match deeper) and once with the
+    * advanced level; rewound results precede advanced results
+    * (src/index.ts:434–440). Heap-stacked DFS (adversarially deep documents
+    * must not overflow the JVM stack); emission order is identical to the
+    * reference's recursive concatenation order.
+    */
+  private def exploreAll(root: Element, parts: Array[SelectorPart], level0: Int,
+      out: ArrayBuffer[Element]): Unit = {
+    // work stack of (node, level); LIFO pop order == recursive visit order
+    val nodes = new ArrayBuffer[Element](64)
+    val levels = new ArrayBuffer[Int](64)
+    nodes += root; levels += level0
+    while (nodes.nonEmpty) {
+      val node = nodes.remove(nodes.length - 1)
+      val level = levels.remove(levels.length - 1)
+      val advanced = node.tagName.nonEmpty && level < parts.length &&
+        parts(level).matches(node)
+      val kids = node.childNodes
+      if (advanced && level + 1 == parts.length) {
+        out += node
+        var j = kids.length - 1
+        while (j >= 0) {
+          kids(j) match {
+            case c: Element => nodes += c; levels += level
+            case _ =>
+          }
+          j -= 1
+        }
+      } else if (advanced) {
+        // advanced batch pushed first so the rewound batch is processed first
+        var j = kids.length - 1
+        while (j >= 0) {
+          kids(j) match {
+            case c: Element => nodes += c; levels += (level + 1)
+            case _ =>
+          }
+          j -= 1
+        }
+        j = kids.length - 1
+        while (j >= 0) {
+          kids(j) match {
+            case c: Element => nodes += c; levels += level
+            case _ =>
+          }
+          j -= 1
+        }
+      } else {
+        var j = kids.length - 1
+        while (j >= 0) {
+          kids(j) match {
+            case c: Element => nodes += c; levels += level
+            case _ =>
+          }
+          j -= 1
+        }
+      }
+    }
+  }
+
+  /** single-mode explore: no rewound exploration; children inherit the
+    * (possibly advanced) level (src/index.ts:430, 443–450). Heap-stacked.
+    */
+  private def exploreOne(root: Element, parts: Array[SelectorPart], level0: Int): Element = {
+    val nodes = new ArrayBuffer[Element](64)
+    val levels = new ArrayBuffer[Int](64)
+    nodes += root; levels += level0
+    while (nodes.nonEmpty) {
+      val node = nodes.remove(nodes.length - 1)
+      val level = levels.remove(levels.length - 1)
+      val advanced = node.tagName.nonEmpty && level < parts.length &&
+        parts(level).matches(node)
+      val newLevel = if (advanced) level + 1 else level
+      if (advanced && newLevel == parts.length) return node
+      val kids = node.childNodes
+      var j = kids.length - 1
+      while (j >= 0) {
+        kids(j) match {
+          case c: Element => nodes += c; levels += newLevel
+          case _ =>
+        }
+        j -= 1
+      }
+    }
+    null
+  }
+}

@@ -1,0 +1,170 @@
+package graft.kernel
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Re-encoding of TextNode/HTMLElement behavior suites
+  * (/root/reference/test/html.test.ts:438–668) + entity codec unit tests.
+  */
+class ExtractSpec extends AnyFunSuite {
+
+  private def parse(s: String, o: ParseOptions = ParseOptions()) = HtmlParser.parse(s, o)
+  private def firstEl(root: Element): Element = root.firstChild.asInstanceOf[Element]
+
+  // html.test.ts:438–449
+  test("isWhitespace detects whitespace incl. &nbsp;") {
+    assert(new TextNode("").isWhitespace)
+    assert(new TextNode(" \t").isWhitespace)
+    assert(new TextNode(" \t&nbsp; \t").isWhitespace)
+    assert(!new TextNode(" x ").isWhitespace)
+  }
+
+  // html.test.ts:453–464
+  test("prependChild adds children in order") {
+    val root = parse("<p></p>")
+    val p = firstEl(root)
+    p.prependChild(new TextNode("3"))
+    p.prependChild(new TextNode("2"))
+    p.prependChild(new TextNode("1"))
+    assert(root.firstChild.text == "123")
+  }
+
+  // html.test.ts:466–473
+  test("remove() detaches the node") {
+    val root = parse("<div><p></p></div>")
+    val child = firstEl(root)
+    child.firstChild.remove()
+    assert(child.outerHTML == "<div></div>")
+  }
+
+  // html.test.ts:475–487
+  test("removeWhitespace preserves content nodes") {
+    val root = parse("<div> \r \n  \t <h5> 123 </h5></div>")
+    val child = firstEl(root)
+    child.removeWhitespace()
+    assert(child.toHtml == "<div><h5>123</h5></div>")
+  }
+
+  // html.test.ts:614–618
+  test("structuredText flushes blocks with newlines") {
+    val root = parse("<span>o<p>a</p><p>b</p>c</span>")
+    assert(root.structuredText == "o\na\nb\nc")
+  }
+
+  // html.test.ts:620–623
+  test("structuredText ignores comments") {
+    val root = parse("<span>o<p>a</p><!-- my comment --></span>", ParseOptions(comment = true))
+    assert(root.structuredText == "o\na")
+  }
+
+  // html.test.ts:625–646
+  test("set_content variants") {
+    locally {
+      val root = parse("<div></div>")
+      root.children(0).setContent("<span><div>abc</div>bla</span>")
+      assert(root.toHtml == "<div><span><div>abc</div>bla</span></div>")
+    }
+    locally {
+      val root = parse("<div></div>")
+      root.children(0).setContent(parse("<span><div>abc</div>bla</span>").childNodes.toSeq)
+      assert(root.toHtml == "<div><span><div>abc</div>bla</span></div>")
+    }
+    locally {
+      val root = parse("<div></div>")
+      root.children(0).setContent(parse("<span><div>abc</div>bla</span>").childNodes(0))
+      assert(root.toHtml == "<div><span><div>abc</div>bla</span></div>")
+    }
+    locally {
+      val root = parse("<div></div>")
+      root.children(0).setContent("abc")
+      assert(root.toHtml == "<div>abc</div>")
+    }
+  }
+
+  // html.test.ts:647–668
+  test("innerHTML setter") {
+    val root = parse("<div></div>")
+    root.children(0).innerHTML = "<span><div>abc</div>bla</span>"
+    assert(root.toHtml == "<div><span><div>abc</div>bla</span></div>")
+    val root2 = parse("<div></div>")
+    root2.children(0).innerHTML = "abc"
+    assert(root2.toHtml == "<div>abc</div>")
+  }
+
+  test("innerHTML setter leaves old text children in place (quirk)") {
+    // remove() no-ops for text nodes because their parentNode is never set
+    val root = parse("<div>old</div>")
+    root.children(0).innerHTML = "<b>new</b>"
+    assert(root.toHtml == "<div>old<b>new</b></div>")
+  }
+
+  test("structuredText whitespace-node becomes pending single space") {
+    val root = parse("<span>a </span> <span>b</span>")
+    assert(root.structuredText == "a b")
+  }
+
+  test("structuredText collapses internal whitespace runs") {
+    val root = parse("<p>a   b\n\t c</p>")
+    assert(root.structuredText == "a b c")
+  }
+
+  test("structuredText: br is a block boundary; ul/table are not") {
+    assert(parse("x<br>y").structuredText == "x\ny")
+    assert(parse("<ul><li>a</li><li>b</li></ul>").structuredText == "a\nb")
+    assert(parse("<table><tr><td>a</td><td>b</td></tr></table>").structuredText == "a\nb")
+  }
+
+  test("rawText includes comment values (quirk)") {
+    val root = parse("<div>a<!--c-->b</div>", ParseOptions(comment = true))
+    assert(firstEl(root).rawText == "acb")
+  }
+
+  test("trimRight truncates at pattern and drops following siblings") {
+    val root = parse("<div>hello STOP world<span>x</span></div>")
+    firstEl(root).trimRight("STOP".r)
+    assert(firstEl(root).toHtml == "<div>hello </div>")
+  }
+
+  test("structure outline") {
+    val root = parse("""<div id="a" class="x y"><p>text</p></div>""")
+    assert(firstEl(root).structure == "div#a.x.y\n  p\n    #text")
+  }
+
+  // ---- entity codec (html-entities@2.3.2 defaults) ----
+
+  test("decode named, legacy, numeric entities") {
+    assert(Entities.decode("2&amp;") == "2&")
+    assert(Entities.decode("&lt;x&gt;") == "<x>")
+    assert(Entities.decode("&nbsp;") == "\u00a0")
+    assert(Entities.decode("&nbsp") == "\u00a0") // legacy no-semicolon
+    assert(Entities.decode("&amp") == "&")
+    assert(Entities.decode("&apos") == "&apos") // apos is NOT legacy
+    assert(Entities.decode("&apos;") == "'")
+    assert(Entities.decode("&#39;") == "'")
+    assert(Entities.decode("&#x27;") == "'")
+    assert(Entities.decode("&#9650;") == "▲")
+    assert(Entities.decode("&#0;") == "�") // numeric remap
+    assert(Entities.decode("&#128;") == "€") // cp1252 remap
+    assert(Entities.decode("&#x1F600;") == new String(Character.toChars(0x1F600)))
+    assert(Entities.decode("&unknown;") == "&unknown;")
+    assert(Entities.decode("&unknownthing") == "&unknownthing")
+    assert(Entities.decode("a & b") == "a & b")
+    assert(Entities.decode("&eacute;t&eacute") == "été")
+  }
+
+  test("encode escapes only special chars") {
+    assert(Entities.encodeSpecial("!$$&") == "!$$&amp;")
+    assert(Entities.encodeSpecial("<a b='c'>\"") == "&lt;a b=&apos;c&apos;&gt;&quot;")
+    assert(Entities.encodeSpecial("plain é ") == "plain é ")
+  }
+
+  test("Js helpers match JS semantics") {
+    assert(Js.splitWs("a b ").toSeq == Seq("a", "b", ""))
+    assert(Js.splitWs(" a").toSeq == Seq("", "a"))
+    assert(Js.splitWs("").toSeq == Seq(""))
+    assert(Js.collapseWs2("a  b c") == "a b c")
+    assert(Js.collapseWs2("a b") == "a b")
+    assert(Js.collapseWs2("a\n\tb") == "a b")
+    assert(Js.trim(" x ") == "x")
+    assert(Js.trimRight("x \n") == "x")
+  }
+}
