@@ -27,4 +27,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // ParallelGC measured ~20% faster than G1 for the allocation-heavy
+  // parse kernel at 32 threads (see BENCH.md)
+  "-XX:+UseParallelGC",
 )

@@ -1,5 +1,10 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-contract benchmark: one JSON line with per-query wall times plus
+  * the flagship extraction throughput (docs/sec) on the same SF.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,18 +12,34 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // flagship extraction throughput: full kernel pass over the pages table
+    val pages = graft.pipeline.Synth.pages(spark, sfDir).cache()
+    val nDocs = pages.count()
+    // warmup (JIT + code paths)
+    graft.pipeline.ExtractJob.run(pages).agg(org.apache.spark.sql.functions.sum("n_nodes")).collect()
+    val t0 = System.nanoTime()
+    graft.pipeline.ExtractJob.run(pages).agg(org.apache.spark.sql.functions.sum("n_nodes")).collect()
+    val extractSec = (System.nanoTime() - t0) / 1e9
+    val docsPerSec = nDocs / extractSec
+    pages.unpersist()
+
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + extractSec
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","extract_docs":$nDocs,"extract_sec":$extractSec%.3f,"extract_docs_per_sec":$docsPerSec%.1f,"cpus":"$cpus"}""")
     spark.stop()
   }
 }

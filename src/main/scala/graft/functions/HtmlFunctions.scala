@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions.udf
+import graft.kernel._
+
+/** Column-level surface over the per-document kernel.
+  *
+  * These are deliberately Scala UDFs wrapping the kernel: HTML parsing is a
+  * black-box per-row computation (no Catalyst expression could fold it), so
+  * the UDF boundary costs only the row codec, not lost optimization. Scalar
+  * string ops that CAN stay inside codegen (entity decode) also exist as a
+  * native Catalyst expression — see graft.functions.HtmlUnescape.
+  *
+  * Selectors are compiled once per executor (cache keyed by selector string)
+  * — the analog of the reference compiling a Matcher once per query
+  * (/root/reference/src/index.ts:408).
+  */
+object HtmlFunctions extends Serializable {
+
+  @transient private lazy val selectorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[SelectorPart]]()
+
+  private def compiled(sel: String): Array[SelectorPart] = {
+    var p = selectorCache.get(sel)
+    if (p == null) {
+      p = Selector.compile(sel)
+      selectorCache.putIfAbsent(sel, p)
+    }
+    p
+  }
+
+  private def selectAll(root: Element, selector: String): Seq[Element] = {
+    // comma-union with identity dedup, same as kernel querySelectorAll
+    Query.querySelectorAll(root, selector).toSeq
+  }
+
+  // ---- scalar kernel ops ----
+
+  val htmlValid = udf { (html: String) =>
+    if (html == null) false else HtmlParser.parse(html).valid
+  }
+
+  val htmlText = udf { (html: String) =>
+    if (html == null) null else HtmlParser.parse(html).structuredText
+  }
+
+  val htmlOuter = udf { (html: String) =>
+    if (html == null) null else HtmlParser.parse(html).toHtml
+  }
+
+  val cssCount = udf { (html: String, selector: String) =>
+    if (html == null) 0 else selectAll(HtmlParser.parse(html), selector).length
+  }
+
+  /** querySelector (first match, comma parts left-to-right) decoded text. */
+  val cssFirstText = udf { (html: String, selector: String) =>
+    if (html == null) null
+    else HtmlParser.parse(html).querySelector(selector).map(_.text).orNull
+  }
+
+  /** Attribute of the first match, decoded. */
+  val cssFirstAttr = udf { (html: String, selector: String, attr: String) =>
+    if (html == null) null
+    else
+      HtmlParser.parse(html).querySelector(selector)
+        .flatMap(e => Option(e.attributes.get(attr))).orNull
+  }
+
+  /** removeWhitespace + setAttribute + serialize — the mutation pipeline as
+    * one column op (used by the mutation oracle query).
+    */
+  val mutateDemo = udf { (html: String, key: String, value: String) =>
+    if (html == null) null
+    else {
+      val root = HtmlParser.parse(html)
+      root.removeWhitespace()
+      root.children.headOption.foreach(_.setAttribute(key, value))
+      root.toHtml
+    }
+  }
+
+  val htmlUnescapeUdf = udf { (s: String) =>
+    if (s == null) null else Entities.decode(s)
+  }
+
+  /** Register everything for the pure-SQL surface. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("html_valid", htmlValid)
+    spark.udf.register("html_text", htmlText)
+    spark.udf.register("html_outer", htmlOuter)
+    spark.udf.register("css_count", cssCount)
+    spark.udf.register("css_first_text", cssFirstText)
+    spark.udf.register("css_first_attr", cssFirstAttr)
+    spark.udf.register("html_unescape", htmlUnescapeUdf)
+  }
+}

@@ -127,7 +127,9 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
 
   /** Raw attribute string as written in the source tag (trimmed). */
   var rawAttrs: String = if (rawAttrsInit == null) "" else rawAttrsInit
-  val childNodes: ArrayBuffer[DomNode] = ArrayBuffer.empty
+  // small initial capacity: most elements have few children, and the parse
+  // kernel is memory-bandwidth-bound at high core counts (BENCH.md)
+  val childNodes: ArrayBuffer[DomNode] = new ArrayBuffer(2)
 
   /** Eagerly-extracted id/class shorthand (ctor mini-regex,
     * src/index.ts:183–193): only `id=`/`class=` keys preceded by start/space,

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Exact dedup is plain hash-groupBy (see SparkEntry q11). The sketch-based
+  * near-dup operators here follow the standard MinHash/LSH and SimHash
+  * constructions; they are deterministic (fixed hash family, no RNG) so
+  * results are stable across runs and cluster sizes.
+  *
+  * Scale shape: everything is per-row map work + one groupBy on (band,
+  * bucket) — the canonical shuffle-light near-dup layout for 10^12 docs.
+  */
+object Dedup {
+
+  /** FNV-1a 64-bit — stable token hash (no dependence on JVM hashCode). */
+  private[ops] def fnv1a64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < s.length) {
+      h ^= s.charAt(i).toLong
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** murmur3-style 64-bit finalizer — full avalanche. */
+  private[ops] def mix64(z0: Long): Long = {
+    var z = z0
+    z ^= (z >>> 33); z *= 0xff51afd7ed558ccdL
+    z ^= (z >>> 33); z *= 0xc4ceb9fe1a85ec53L
+    z ^= (z >>> 33)
+    z
+  }
+
+  private def seed(i: Int): Long = mix64((i + 1).toLong * 0x9E3779B97F4A7C15L)
+
+  /** MinHash signature of a token set under `numHashes` independent strong
+    * hash functions h_i(x) = mix64(x ^ seed_i) (min-wise behavior requires
+    * full-avalanche hashes; affine families with small multipliers are NOT
+    * min-wise independent). Mins compared unsigned.
+    */
+  private[ops] def minhashSig(tokens: Iterable[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(-1L) // unsigned max
+    tokens.foreach { t =>
+      val x = fnv1a64(t)
+      var i = 0
+      while (i < numHashes) {
+        val v = mix64(x ^ seed(i))
+        if (java.lang.Long.compareUnsigned(v, sig(i)) < 0) sig(i) = v
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** (doc_id, band, bucket) rows: docs sharing (band, bucket) are near-dup
+    * candidates; the downstream candidate join is a groupBy on this key.
+    */
+  def minhashBands(docs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val bandsUdf = udf { (text: String) =>
+      if (text == null) Array.empty[Long]
+      else {
+        val toks = text.split(' ').toSet
+        val sig = minhashSig(toks, numHashes)
+        Array.tabulate(bands) { b =>
+          var h = 0xcbf29ce484222325L
+          var r = 0
+          while (r < rows) {
+            h ^= sig(b * rows + r)
+            h *= 0x100000001b3L
+            r += 1
+          }
+          h
+        }
+      }
+    }
+    docs.select(col("doc_id"), posexplode(bandsUdf(col("text"))).as(Seq("band", "bucket")))
+      .select(col("doc_id"), col("band").cast("int").as("band"), col("bucket"))
+  }
+
+  /** Near-dup candidate pairs: docs that share any (band, bucket). */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val b = minhashBands(docs, numHashes, bands)
+    val l = b.toDF("id1", "band", "bucket")
+    val r = b.toDF("id2", "band2", "bucket2")
+    l.join(r, col("band") === col("band2") && col("bucket") === col("bucket2") &&
+        col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** 64-bit SimHash over whitespace tokens (unit weights). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val sim = udf { (text: String) =>
+      if (text == null) 0L
+      else {
+        val counts = new Array[Int](64)
+        text.split(' ').foreach { t =>
+          val h = fnv1a64(t)
+          var bit = 0
+          while (bit < 64) {
+            if (((h >>> bit) & 1L) == 1L) counts(bit) += 1 else counts(bit) -= 1
+            bit += 1
+          }
+        }
+        var out = 0L
+        var bit = 0
+        while (bit < 64) {
+          if (counts(bit) > 0) out |= (1L << bit)
+          bit += 1
+        }
+        out
+      }
+    }
+    docs.select(col("doc_id"), sim(col("text")).as("simhash"))
+  }
+
+  /** Hamming distance between simhashes — the near-dup predicate. */
+  val hamming = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
+
+  /** n-gram (shingle) Jaccard similarity between explicit candidate pairs:
+    * explode shingles → join → count. `pairs` has (id1, id2).
+    */
+  def ngramJaccard(docs: DataFrame, pairs: DataFrame, n: Int = 3): DataFrame = {
+    val shingleUdf = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val toks = text.split(' ')
+        if (toks.length < n) Array(toks.mkString(" "))
+        else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" ")).distinct
+      }
+    }
+    val sh = docs.select(col("doc_id"), explode(shingleUdf(col("text"))).as("sh"))
+    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.toDF("id1", "sha")
+    val b = sh.toDF("id2", "shb")
+    val inter = pairs.join(a, Seq("id1")).join(b, Seq("id2"))
+      .filter(col("sha") === col("shb"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.toDF("id1", "n1"), "id1")
+      .join(counts.toDF("id2", "n2"), "id2")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+  }
+}

@@ -1,0 +1,103 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Brute-force cosine top-k is the correctness baseline (and the oracle-
+  * checked query); the random-hyperplane LSH variant is the scale path — at
+  * 10^12 rows the bucketed join replaces the cross join, trading recall for
+  * a shuffle-bounded plan. Hyperplanes are deterministic (derived from a
+  * fixed integer mix), so results are reproducible with no RNG state.
+  */
+object Similarity {
+
+  /** float32 cosine, accumulation order matching a simple sequential loop
+    * (mirrors DuckDB's list_cosine_similarity float math for the oracle).
+    */
+  private[ops] def cosineF(a: Seq[Float], b: Seq[Float]): Double = {
+    var dot = 0f
+    var na = 0f
+    var nb = 0f
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i) * b(i)
+      na += a(i) * a(i)
+      nb += b(i) * b(i)
+      i += 1
+    }
+    dot / math.sqrt(na.toDouble * nb.toDouble)
+  }
+
+  private val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosineF(a, b) }
+
+  /** Exact top-k neighbors for the first `nQueries` vectors.
+    * Output: (query_id, rank, neighbor_id) — ints only, oracle-hashable.
+    */
+  def bruteForceTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val q = base.filter(col("vec_id") < nQueries)
+      .toDF("query_id", "q_embedding")
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosUdf(col("q_embedding"), col("embedding")), 4).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim). */
+  private def planeWeight(plane: Int, dim: Int): Float = {
+    var x = plane.toLong * 0x9E3779B97F4A7C15L + dim.toLong * 0xC2B2AE3D27D4EB4FL
+    x ^= (x >>> 33); x *= 0xFF51AFD7ED558CCDL; x ^= (x >>> 33)
+    // map to [-1, 1)
+    (x.toDouble / Long.MaxValue.toDouble).toFloat
+  }
+
+  private def signature(v: Seq[Float], nPlanes: Int): Int = {
+    var sig = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += v(i) * planeWeight(p, i); i += 1 }
+      if (dot >= 0) sig |= (1 << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** LSH-bucketed ANN: candidates share the hyperplane-sign bucket; exact
+    * cosine re-rank within the bucket. Same output shape as bruteForceTopK.
+    * Multi-probe: each vector also lands in the `nProbes` buckets at Hamming
+    * distance 1 (flipping one plane) to lift recall.
+    */
+  def lshTopK(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int,
+      nProbes: Int = 4): DataFrame = {
+    val sigUdf = udf { (v: Seq[Float]) => signature(v, nPlanes) }
+    val probesUdf = udf { (v: Seq[Float]) =>
+      val s = signature(v, nPlanes)
+      (s +: Array.tabulate(math.min(nProbes, nPlanes))(p => s ^ (1 << p)).toSeq).distinct
+    }
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val bucketed = base.withColumn("bucket", sigUdf(col("embedding")))
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        explode(probesUdf(col("embedding"))).as("bucket"))
+    val cand = bucketed.join(broadcast(q), "bucket")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosUdf(col("q_embedding"), col("embedding")), 4).as("c"))
+      .dropDuplicates("query_id", "neighbor_id", "c")
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.kernel.{HtmlParser, ParseOptions, Element, TextNode, CommentNode, DomNode}
+
+/** The flagship pipeline: scan → (optional salted repartition) → typed
+  * mapPartitions kernel → ParsedDoc columns (SURVEY.md §3.1, §7.2).
+  *
+  * Scale notes (100 TB design):
+  *   - the stage is map-only: no shuffle unless `saltPartitions > 0` is
+  *     requested to defuse host/domain skew; whole-stage codegen pipelines the
+  *     parquet scan into the DeserializeToObject boundary
+  *   - only (url, warc_ts, html, lang) are read — column pruning reaches the
+  *     scan, so the `text` hint column is never deserialized
+  *   - per-doc memory is O(doc); no driver-side collection anywhere
+  */
+object ExtractJob {
+
+  /** Count nodes/elements/links in one allocation-free pass. */
+  private def stats(root: Element): (Int, Int, Int) = {
+    var nodes = 0
+    var elements = 0
+    var links = 0
+    val stack = new scala.collection.mutable.ArrayBuffer[DomNode](32)
+    var i = root.childNodes.length - 1
+    while (i >= 0) { stack += root.childNodes(i); i -= 1 }
+    while (stack.nonEmpty) {
+      val n = stack.remove(stack.length - 1)
+      nodes += 1
+      n match {
+        case e: Element =>
+          elements += 1
+          if (e.tagName == "a") links += 1
+          var j = e.childNodes.length - 1
+          while (j >= 0) { stack += e.childNodes(j); j -= 1 }
+        case _ =>
+      }
+    }
+    (nodes, elements, links)
+  }
+
+  def parsePage(url: String, warcTs: java.sql.Timestamp, html: Array[Byte],
+      lang: String, options: ParseOptions = ParseOptions()): ParsedDoc = {
+    val raw = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+    val root = HtmlParser.parse(raw, options)
+    val (nodes, elements, links) = stats(root)
+    ParsedDoc(url, warcTs, lang, root.valid, root.structuredText,
+      nodes, elements, links, html.length)
+  }
+
+  /** pages(url, warc_ts, html, text, lang, …) → Dataset[ParsedDoc]. */
+  def run(pages: DataFrame, saltPartitions: Int = 0): Dataset[ParsedDoc] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    // prune to exactly what the kernel needs BEFORE any shuffle
+    val pruned = pages.select("url", "warc_ts", "html", "lang")
+    val routed =
+      if (saltPartitions > 0) {
+        // salt = hash(url) buckets: spreads a hot host across partitions
+        pruned.repartition(saltPartitions, pmod(hash(col("url")), lit(saltPartitions * 4)))
+      } else pruned
+    routed
+      .as[(String, java.sql.Timestamp, Array[Byte], String)]
+      .mapPartitions { it =>
+        it.map { case (url, ts, html, lang) => parsePage(url, ts, html, lang) }
+      }
+  }
+
+  /** Per-lang pipeline metrics (hash aggregation: partial+final for free). */
+  def metrics(parsed: Dataset[ParsedDoc]): DataFrame =
+    parsed.groupBy("lang").agg(
+      count("*").as("docs"),
+      sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parse_ok_docs"),
+      sum("n_bytes").as("bytes_in"),
+      sum(length(col("text_out")).cast("long")).as("chars_out"),
+      sum("n_links").as("links"))
+}

@@ -1,0 +1,72 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths, Path}
+import scala.jdk.CollectionConverters._
+
+/** Iceberg-style table seam (SURVEY.md §7.6). No Iceberg runtime jar exists
+  * in this sandbox, so the rule's Iceberg features are emulated: a
+  * bucket-partitioned parquet layout plus a `_manifests/` JSON commit log
+  * giving snapshot-style atomic bucket commits, resumability, and lineage.
+  * On a real cluster the read/write call sites swap to `format("iceberg")`.
+  */
+object TableIO {
+
+  val BucketCol = "warc_bucket"
+
+  /** warc_ts → bucket id (hour-of-epoch modulo nBuckets — deterministic,
+    * partition-pruning friendly).
+    */
+  def withBucket(df: DataFrame, nBuckets: Int): DataFrame =
+    df.withColumn(BucketCol,
+      pmod((unix_timestamp(col("warc_ts")) / 3600).cast("long"), lit(nBuckets)))
+
+  private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
+
+  /** Buckets already committed (the resume set). */
+  def committedBuckets(table: String): Set[Long] = {
+    val dir = manifestDir(table)
+    if (!Files.isDirectory(dir)) Set.empty
+    else
+      Files.list(dir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".json"))
+        .map(_.stripSuffix(".json").stripPrefix("bucket-").toLong)
+        .toSet
+  }
+
+  /** Idempotent bucket write: write the partition dir, then atomically drop a
+    * manifest. A re-run after a crash rewrites any uncommitted bucket
+    * (overwrite) and skips committed ones — no duplicate output.
+    */
+  def writeBucket(df: DataFrame, table: String, bucket: Long): Unit = {
+    val rows = df.count()
+    df.write.mode("overwrite").parquet(s"$table/$BucketCol=$bucket")
+    val dir = manifestDir(table)
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".bucket-$bucket.json.tmp")
+    val fin = dir.resolve(s"bucket-$bucket.json")
+    Files.writeString(tmp, s"""{"bucket":$bucket,"rows":$rows,"schema":"parsed_doc_v1"}""")
+    Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Filter the input to not-yet-committed buckets (partition-level resume)
+    * — at 10^12 docs this prunes entire partitions before any scan work.
+    */
+  def pendingOnly(pages: DataFrame, table: String, nBuckets: Int): DataFrame = {
+    val committed = committedBuckets(table)
+    val bucketed = withBucket(pages, nBuckets)
+    if (committed.isEmpty) bucketed
+    else bucketed.filter(!col(BucketCol).isin(committed.toSeq: _*))
+  }
+
+  /** Row-level resume: anti-join against already-committed urls. The
+    * committed side is a skinny (url) projection; AQE broadcasts it when
+    * small, else it runs as a shuffled anti-join.
+    */
+  def resumeByUrl(pages: DataFrame, committedUrls: DataFrame): DataFrame =
+    pages.join(committedUrls.select("url"), Seq("url"), "left_anti")
+}

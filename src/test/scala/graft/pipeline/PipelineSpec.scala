@@ -1,0 +1,177 @@
+package graft.pipeline
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.{SparkSession, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Tier-2 tests: kernel semantics through the full Dataset pipeline, table
+  * IO / resume, dedup sketches, ANN, multimodal stub (SURVEY.md §5).
+  */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("pipeline-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pagesOf(html: String*): DataFrame = {
+    import spark.implicits._
+    html.zipWithIndex.map { case (h, i) =>
+      Page(s"https://t/$i", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        h.getBytes("UTF-8"), null, "en")
+    }.toDF()
+  }
+
+  test("flagship fixture is byte-identical through the Dataset pipeline") {
+    val parsed = ExtractJob.run(pagesOf("<span>o<p>a</p><p>b</p>c</span>")).collect()
+    assert(parsed.length == 1)
+    assert(parsed.head.text_out == "o\na\nb\nc")
+    assert(parsed.head.parse_ok)
+  }
+
+  test("pipeline output matches direct kernel output on a real corpus page") {
+    val p = java.nio.file.Paths.get("/root/reference/test/html/google.html")
+    assume(java.nio.file.Files.exists(p))
+    val html = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val viaPipeline = ExtractJob.run(pagesOf(html)).collect().head
+    val direct = graft.kernel.HtmlParser.parse(html)
+    assert(viaPipeline.text_out == direct.structuredText)
+    assert(viaPipeline.parse_ok == direct.valid)
+  }
+
+  test("salted repartition preserves results exactly") {
+    val html = (0 until 50).map(i => s"<div><p>doc $i</p></div>")
+    val plain = ExtractJob.run(pagesOf(html: _*)).collect().map(d => d.url -> d.text_out).toMap
+    val salted = ExtractJob.run(pagesOf(html: _*), saltPartitions = 4)
+      .collect().map(d => d.url -> d.text_out).toMap
+    assert(plain == salted)
+  }
+
+  test("TableIO bucket commit + resume skips committed buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_tbl").toString
+    import spark.implicits._
+    val df = (0 until 20).map { i =>
+      (s"u$i", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 3600L)), i)
+    }.toDF("url", "warc_ts", "v")
+    val nBuckets = 4
+    val bucketed = TableIO.withBucket(df, nBuckets)
+    // commit buckets 0 and 1
+    Seq(0L, 1L).foreach { b =>
+      TableIO.writeBucket(bucketed.filter(col(TableIO.BucketCol) === b), dir, b)
+    }
+    assert(TableIO.committedBuckets(dir) == Set(0L, 1L))
+    val pending = TableIO.pendingOnly(df, dir, nBuckets)
+    val pendingBuckets = pending.select(TableIO.BucketCol).distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(pendingBuckets == Set(2L, 3L))
+    // idempotent re-commit: same rows, no duplicates
+    TableIO.writeBucket(bucketed.filter(col(TableIO.BucketCol) === 1L), dir, 1L)
+    val rows = spark.read.parquet(s"$dir/${TableIO.BucketCol}=1").count()
+    assert(rows == bucketed.filter(col(TableIO.BucketCol) === 1L).count())
+  }
+
+  test("resumeByUrl anti-join removes committed urls") {
+    import spark.implicits._
+    val pages = Seq("a", "b", "c", "d").map(u => (u, 1)).toDF("url", "v")
+    val committed = Seq("b", "d").toDF("url")
+    val remaining = TableIO.resumeByUrl(pages, committed).select("url")
+      .collect().map(_.getString(0)).toSet
+    assert(remaining == Set("a", "c"))
+  }
+
+  test("minhash LSH finds near-duplicates, not unrelated docs") {
+    import spark.implicits._
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val unrelated = (100 to 160).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, nearDup), (2L, unrelated))
+      .toDF("doc_id", "text")
+    val cands = graft.ops.Dedup.minhashCandidates(docs, numHashes = 32, bands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+    assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
+  }
+
+  test("ngram jaccard on explicit pairs") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c d e"), (1L, "a b c d x")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L)).toDF("id1", "id2")
+    val j = graft.ops.Dedup.ngramJaccard(docs, pairs, n = 3).collect().head
+    // shingles(0): {a b c, b c d, c d e}; shingles(1): {a b c, b c d, c d x}
+    assert(j.getAs[Long]("inter") == 2L)
+    assert(math.abs(j.getAs[Double]("jaccard") - 0.5) < 1e-9)
+  }
+
+  test("simhash hamming distance separates near-dups from unrelated") {
+    import spark.implicits._
+    val base = (1 to 64).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 60).map(i => s"tok$i").mkString(" ") + " q w e r"
+    val far = (200 to 264).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((0L, base), (1L, near), (2L, far)).toDF("doc_id", "text")
+    val sh = graft.ops.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("LSH ANN finds planted near-identical neighbors") {
+    import spark.implicits._
+    // deterministic clustered vectors: pairs (2k, 2k+1) nearly identical
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    val rows = (0 until 20).flatMap { k =>
+      val v = vec(k)
+      Seq((2L * k, v), (2L * k + 1, v.updated(0, v.head + 0.001f)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val res = graft.ops.Similarity.lshTopK(emb, nQueries = 4, k = 1, nPlanes = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // each query 0..3's nearest neighbor is its planted twin
+    (0 until 4).foreach { q =>
+      assert(res(q.toLong) == (q.toLong ^ 1L), s"query $q should find its twin")
+    }
+  }
+
+  test("brute-force topk agrees with LSH on planted twins") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.cos(seed * 17 + i * 3).toFloat)
+    val rows = (0 until 10).flatMap { k =>
+      val v = vec(k)
+      Seq((2L * k, v), (2L * k + 1, v.updated(1, v(1) + 0.001f)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, nQueries = 4, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    (0 until 4).foreach(q => assert(brute(q.toLong) == (q.toLong ^ 1L)))
+  }
+
+  test("multimodal decode stub emits typed metadata") {
+    import spark.implicits._
+    val df = Seq((1L, "hello".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val meta = graft.ops.Multimodal.decodeStub(df).collect().head
+    assert(meta.getAs[Long]("byte_len") == 5L)
+    assert(meta.getAs[String]("fp") == "5d41402abc4b2a76b9719d911017c592") // md5("hello")
+    assert(meta.getAs[Int]("fake_width") == 6)
+  }
+
+  test("synth pages are deterministic and correctly shaped") {
+    val p1 = Synth.pages(spark, "/root/testdata/sf0.001")
+    val p2 = Synth.pages(spark, "/root/testdata/sf0.001")
+    assert(p1.schema.fieldNames.toSeq ==
+      Seq("url", "warc_ts", "html", "text", "lang", "doc_id"))
+    val h1 = p1.agg(sum(crc32(col("html")))).collect().head.getLong(0)
+    val h2 = p2.agg(sum(crc32(col("html")))).collect().head.getLong(0)
+    assert(h1 == h2)
+  }
+}
