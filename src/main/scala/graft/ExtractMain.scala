@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Synth, ExtractJob, TableIO}
+
+/** The resumable extraction job (north_rule): bucketed pages → per-bucket
+  * kernel extraction → bucket-committed output table with manifest lineage.
+  * Re-running after a kill resumes from the last committed bucket with no
+  * duplicate output (TableIO manifests are atomic).
+  *
+  *   runMain graft.ExtractMain <sfDir> <outTable> [nBuckets] [saltParts] [failAtBucket]
+  *
+  * `failAtBucket` injects a crash before committing that bucket — used to
+  * drive the resume path end-to-end.
+  */
+object ExtractMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outTable = args(1)
+    val nBuckets = if (args.length > 2) args(2).toInt else 8
+    val saltParts = if (args.length > 3) args(3).toInt else 0
+    val failAtBucket = if (args.length > 4) args(4).toInt else -1
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val pages = Synth.pages(spark, sfDir)
+    val committed = TableIO.committedBuckets(outTable)
+    if (committed.nonEmpty)
+      println(s"[extract] resuming: buckets ${committed.toSeq.sorted.mkString(",")} already committed")
+    val pending = TableIO.pendingOnly(pages, outTable, nBuckets)
+    val pendingBuckets = pending.select(TableIO.BucketCol).distinct()
+      .collect().map(_.getLong(0)).sorted
+
+    pendingBuckets.foreach { bucket =>
+      if (bucket == failAtBucket) {
+        println(s"[extract] injected failure before bucket $bucket")
+        spark.stop()
+        sys.exit(17)
+      }
+      val slice = pending.filter(col(TableIO.BucketCol) === bucket)
+        .drop(TableIO.BucketCol)
+      val parsed = ExtractJob.run(slice, saltPartitions = saltParts).toDF()
+      TableIO.writeBucket(parsed, outTable, bucket)
+      println(s"[extract] committed bucket $bucket")
+    }
+
+    val out = spark.read.parquet(outTable)
+    val m = out.agg(count(lit(1)), sum(when(col("parse_ok"), 1L).otherwise(0L)),
+      sum("n_bytes")).collect().head
+    println(s"""[extract] done: docs=${m.getLong(0)} parse_ok=${m.getLong(1)} bytes_in=${m.getLong(2)} buckets=${TableIO.committedBuckets(outTable).size}""")
+    spark.stop()
+  }
+}

@@ -174,7 +174,42 @@ object SparkEntry {
           sum("n_chars").as("sum_chars"))),
 
     // reference corpus goldens (rows-only; determinism pinned in ScalaTest)
-    "q26_corpus_golden" -> ((s, dir) => graft.ops.CorpusGolden.run(s))
+    "q26_corpus_golden" -> ((s, dir) => graft.ops.CorpusGolden.run(s)),
+
+    // ---- text analysis (language ID, quality, tokenization, fingerprints) ----
+    "q27_langid" -> ((s, dir) =>
+      graft.ops.TextAnalysis.langId(docs(s, dir)).groupBy("lang", "lang_guess")
+        .agg(count(lit(1)).as("docs"))),
+    "q28_embed_neardup" -> ((s, dir) => {
+      // embedding-cosine near-dup pairs among the first 64 vectors
+      val e = emb(s, dir).filter(col("vec_id") < 64).select("vec_id", "embedding")
+      val a = e.toDF("id1", "emb1")
+      val b = e.toDF("id2", "emb2")
+      a.join(b, col("id1") < col("id2"))
+        .select(col("id1"), col("id2"),
+          round(graft.ops.Similarity.cosineUdf(col("emb1"), col("emb2")), 4).as("c"))
+        .filter(col("c") >= 0.2)
+    }),
+    "q29_frame_sample" -> ((s, dir) =>
+      graft.ops.Multimodal.sampleFrames(
+        docs(s, dir).select(col("doc_id"),
+          encode(repeat(col("text"), 40), "UTF-8").as("payload")),
+        frameBytes = 1024, stride = 3)),
+    "q30_quality" -> ((s, dir) =>
+      graft.ops.TextAnalysis.qualityScore(docs(s, dir))
+        .select("doc_id", "q_chars", "q_tokens", "q_punct_ratio", "q_uniq_ratio")),
+    "q31_bpe_tokens" -> ((s, dir) =>
+      graft.ops.TextAnalysis.tokenCounts(docs(s, dir))
+        .select("doc_id", "n_ws_tokens", "n_bpeish_tokens")),
+    "q32_unescape_native" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      docs(s, dir).select(col("doc_id"),
+        call_function("html_unescape_native",
+          concat(lit("&lt;"), regexp_replace(col("text"), lit(" "), lit("&nbsp;")),
+            lit("&amp;&#33;&unknown;"))).as("decoded"))
+    }),
+    "q33_winnow_fp" -> ((s, dir) =>
+      graft.ops.TextAnalysis.fingerprints(docs(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -269,7 +304,33 @@ object SparkEntry {
           "SELECT cast(rnk AS int) AS rank, user_id, cnt FROM r WHERE rnk <= 5"),
       "q25_star_join" ->
         ("SELECT label, count(*) AS docs, cast(sum(n_chars) AS bigint) AS sum_chars " +
-          "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id GROUP BY label")
+          "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id GROUP BY label"),
+      "q28_embed_neardup" ->
+        ("SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+          "round(cast(list_cosine_similarity(a.embedding, b.embedding) AS double), 4) AS c " +
+          "FROM embeddings a, embeddings b " +
+          "WHERE a.vec_id < 64 AND b.vec_id < 64 AND a.vec_id < b.vec_id " +
+          "AND round(cast(list_cosine_similarity(a.embedding, b.embedding) AS double), 4) >= 0.2"),
+      "q29_frame_sample" ->
+        ("WITH f AS (SELECT doc_id, greatest(1, (length(text) * 40) // 1024) AS nf FROM documents) " +
+          "SELECT doc_id, cast(unnest(range(0, nf, 3)) AS int) AS frame_idx FROM f"),
+      "q30_quality" ->
+        ("SELECT doc_id, length(text) AS q_chars, " +
+          "len(string_split_regex(text, '\\s+')) AS q_tokens, " +
+          "CASE WHEN length(text) > 0 THEN " +
+          "(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::double / length(text) " +
+          "ELSE 0.0 END AS q_punct_ratio, " +
+          "CASE WHEN len(string_split_regex(text, '\\s+')) > 0 THEN " +
+          "len(list_distinct(string_split_regex(text, '\\s+')))::double / len(string_split_regex(text, '\\s+')) " +
+          "ELSE 0.0 END AS q_uniq_ratio " +
+          "FROM documents"),
+      "q31_bpe_tokens" ->
+        ("SELECT doc_id, len(string_split_regex(text, '\\s+')) AS n_ws_tokens, " +
+          "len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+|\\s+')) AS n_bpeish_tokens " +
+          "FROM documents"),
+      "q32_unescape_native" ->
+        ("SELECT doc_id, concat('<', replace(text, ' ', chr(160)), '&!&unknown;') AS decoded " +
+          "FROM documents")
     )
   }
 }

@@ -33,7 +33,8 @@ object Similarity {
     dot / math.sqrt(na.toDouble * nb.toDouble)
   }
 
-  private val cosUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosineF(a, b) }
+  val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosineF(a, b) }
+  private def cosUdf = cosineUdf
 
   /** Exact top-k neighbors for the first `nQueries` vectors.
     * Output: (query_id, rank, neighbor_id) — ints only, oracle-hashable.

@@ -1,0 +1,158 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID, quality
+  * scoring, tokenization, and document fingerprinting. All deterministic,
+  * no external models (heuristics encode only public linguistic facts).
+  */
+object TextAnalysis {
+
+  // ---- language identification (char-class + stopword-profile heuristic) ----
+
+  private val stopwords: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "of", "and", "to", "in", "is", "it", "that", "was",
+      "for", "with", "his", "her", "this", "are", "not", "you"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "du",
+      "en", "est", "que", "pour", "dans", "qui", "pas", "sur"),
+    "es" -> Set("el", "la", "los", "las", "de", "y", "un", "una", "del",
+      "en", "es", "que", "por", "para", "con", "no", "se"),
+    "de" -> Set("der", "die", "das", "und", "ein", "eine", "von", "zu",
+      "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"))
+
+  /** Heuristic language ID: CJK char ratio → zh/ja/ko bucket; Cyrillic →
+    * ru bucket; otherwise best stopword-profile score among en/fr/es/de
+    * ("und" unknown when nothing scores).
+    */
+  def langIdOf(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0
+    var cyr = 0
+    var letters = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) {
+        letters += 1
+        val b = Character.UnicodeBlock.of(c)
+        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+          b == Character.UnicodeBlock.HIRAGANA ||
+          b == Character.UnicodeBlock.KATAKANA ||
+          b == Character.UnicodeBlock.HANGUL_SYLLABLES) cjk += 1
+        else if (b == Character.UnicodeBlock.CYRILLIC) cyr += 1
+      }
+      i += 1
+    }
+    if (letters == 0) return "und"
+    if (cjk * 3 > letters) return "zh"
+    if (cyr * 3 > letters) return "ru"
+    val toks = text.toLowerCase.split("[^\\p{L}]+")
+    var best = "und"
+    var bestScore = 0
+    stopwords.foreach { case (lang, set) =>
+      var score = 0
+      toks.foreach(t => if (set.contains(t)) score += 1)
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    best
+  }
+
+  val langIdUdf = udf { (text: String) => langIdOf(text) }
+
+  def langId(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.withColumn("lang_guess", langIdUdf(col(textCol)))
+
+  // ---- quality scoring (pure Column arithmetic — stays in codegen) ----
+
+  /** Length / punctuation / stopword / repetition heuristics as columns.
+    * All built-in functions; no UDF in this path.
+    */
+  def qualityScore(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = split(t, "\\s+")
+    docs
+      .withColumn("q_chars", length(t).cast("long"))
+      .withColumn("q_tokens", size(toks).cast("long"))
+      .withColumn("q_avg_word_len",
+        when(size(toks) > 0,
+          (length(t) - size(toks) + 1).cast("double") / size(toks)).otherwise(0.0))
+      .withColumn("q_punct_ratio",
+        when(length(t) > 0,
+          (length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))).cast("double") /
+            length(t)).otherwise(0.0))
+      .withColumn("q_stop_ratio",
+        when(size(toks) > 0,
+          expr(s"size(filter(split($textCol, '\\\\s+'), " +
+            "x -> x in ('the','of','and','a','to','in','is','it')))").cast("double") /
+            size(toks)).otherwise(0.0))
+      .withColumn("q_uniq_ratio",
+        when(size(toks) > 0,
+          size(array_distinct(toks)).cast("double") / size(toks)).otherwise(0.0))
+  }
+
+  // ---- tokenization ----
+
+  /** BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct/space
+    * classes, simplified to an RE2-compatible form).
+    */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+|\\s+"
+
+  def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .withColumn("n_ws_tokens", size(split(col(textCol), "\\s+")).cast("long"))
+      .withColumn("n_bpeish_tokens",
+        size(regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0))).cast("long"))
+
+  // ---- document fingerprinting (rolling hash / winnowing) ----
+
+  /** Polynomial rolling hash over a char window (Rabin-Karp style). */
+  private[ops] def rollingHashes(s: String, window: Int): Array[Long] = {
+    if (s.length < window) return Array(Dedup.fnv1a64(s))
+    val B = 1000003L
+    var pow = 1L
+    var i = 0
+    while (i < window - 1) { pow *= B; i += 1 }
+    var h = 0L
+    i = 0
+    while (i < window) { h = h * B + s.charAt(i); i += 1 }
+    val out = new Array[Long](s.length - window + 1)
+    out(0) = h
+    i = window
+    while (i < s.length) {
+      h = (h - s.charAt(i - window) * pow) * B + s.charAt(i)
+      out(i - window + 1) = h
+      i += 1
+    }
+    out
+  }
+
+  /** Winnowing (Schleimer et al., SIGMOD'03): min hash per sliding window of
+    * `guarantee` rolling hashes → compact, position-robust fingerprint set.
+    */
+  private[ops] def winnow(hashes: Array[Long], guarantee: Int): Array[Long] = {
+    if (hashes.isEmpty) return hashes
+    if (hashes.length <= guarantee) return Array(hashes.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + guarantee <= hashes.length) {
+      var m = hashes(i)
+      var j = i + 1
+      while (j < i + guarantee) { if (hashes(j) < m) m = hashes(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
+  val fingerprintUdf = udf { (text: String) =>
+    if (text == null) Array.empty[Long]
+    else winnow(rollingHashes(text, 16), 8)
+  }
+
+  /** (doc_id, fingerprint) exploded rows — join on fingerprint to find
+    * copied passages across documents.
+    */
+  def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.select(col("doc_id"), explode(fingerprintUdf(col(textCol))).as("fingerprint"))
+}

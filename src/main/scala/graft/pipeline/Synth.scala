@@ -25,8 +25,9 @@ object Synth {
         when(col("doc_id") % 2 === 0, lit("0"))
           .otherwise((col("doc_id") % 50).cast("string")),
         lit(".example/"), col("source"), lit("/"), col("doc_id")).as("url"),
-      // deterministic timestamp: seconds offset from a fixed epoch (UTC)
-      expr("timestamp_seconds(1704067200 + doc_id % 864000)").as("warc_ts"),
+      // deterministic timestamp: spread over ~10 days so hour-of-epoch
+      // bucketing produces a realistic multi-bucket layout
+      expr("timestamp_seconds(1704067200 + (doc_id * 3607) % 864000)").as("warc_ts"),
       encode(htmlFor(), "UTF-8").as("html"),
       col("text"),
       col("lang"),

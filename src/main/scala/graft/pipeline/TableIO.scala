@@ -41,8 +41,10 @@ object TableIO {
     * (overwrite) and skips committed ones — no duplicate output.
     */
   def writeBucket(df: DataFrame, table: String, bucket: Long): Unit = {
-    val rows = df.count()
     df.write.mode("overwrite").parquet(s"$table/$BucketCol=$bucket")
+    // row count for the manifest comes from parquet footers (metadata-only
+    // scan) — counting `df` up front would compute the whole bucket twice
+    val rows = df.sparkSession.read.parquet(s"$table/$BucketCol=$bucket").count()
     val dir = manifestDir(table)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".bucket-$bucket.json.tmp")

@@ -167,4 +167,51 @@ class ExtractSpec extends AnyFunSuite {
     assert(Js.trim(" x ") == "x")
     assert(Js.trimRight("x \n") == "x")
   }
+
+  test("exchangeChild replaces in place without setting new parent (quirk)") {
+    val root = parse("<div><p>a</p><span>b</span></div>")
+    val div = firstEl(root)
+    val p = div.childNodes(0)
+    val repl = new Element("em", "")
+    repl.appendChild(new TextNode("c"))
+    div.exchangeChild(p, repl)
+    assert(div.toHtml == "<div><em>c</em><span>b</span></div>")
+    assert(repl.parentNode == null) // quirk: exchangeChild does not set it
+    assert(p.parentNode == null)
+  }
+
+  test("toJSON produces the reference shape") {
+    val root = parse("""<p a="1">x<!--c--></p>""", ParseOptions(comment = true))
+    assert(firstEl(root).toJsonString ==
+      """{"type":"element","tagName":"p","attributes":{"a":"1"},"children":[{"type":"text","value":"x"},{"type":"comment","value":"c"}]}""")
+  }
+
+  test("pre option keeps raw text; noscript never keeps") {
+    val root = parse("<pre>  a  <b>  </pre>", ParseOptions(pre = true))
+    val pre = firstEl(root)
+    assert(pre.childNodes.length == 1)
+    assert(pre.rawText == "  a  <b>  ")
+    val root2 = parse("<pre>x</pre>")
+    assert(firstEl(root2).childNodes.isEmpty)
+    val root3 = parse("<noscript>x</noscript>", ParseOptions(script = true, style = true, pre = true))
+    assert(firstEl(root3).childNodes.isEmpty)
+  }
+
+  test("querySelectorAll with a Matcher instance skips comma-union dedup") {
+    // "div div" over 3 nested divs: the dual rewound/advanced exploration
+    // emits div3 via two paths → raw result [div3, div2, div3]; the string
+    // path dedups to 2 (reference Set semantics, src/index.ts:408)
+    val root = parse("""<div id="1"><div id="2"><div id="3"></div></div></div>""")
+    val m = new Matcher("div div")
+    val raw = Query.querySelectorAll(root, m)
+    assert(raw.map(_.id).toSeq == Seq("3", "2", "3"))
+    assert(root.querySelectorAll("div div").map(_.id).toSeq == Seq("3", "2"))
+  }
+
+  test("isBlock uses the 40-entry lowercased tag list") {
+    assert(Element.isBlock(HtmlParser.parse("<DIV></DIV>").firstChild.asInstanceOf[Element]))
+    assert(Element.isBlock(HtmlParser.parse("<h3></h3>").firstChild.asInstanceOf[Element]))
+    assert(!Element.isBlock(HtmlParser.parse("<span></span>").firstChild.asInstanceOf[Element]))
+    assert(!Element.isBlock(new TextNode("x")))
+  }
 }

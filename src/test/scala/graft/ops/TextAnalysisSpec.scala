@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+
+  test("langId heuristic identifies major languages") {
+    assert(TextAnalysis.langIdOf("the cat sat on the mat and it was happy") == "en")
+    assert(TextAnalysis.langIdOf("le chat est sur la table et il est content") == "fr")
+    assert(TextAnalysis.langIdOf("el gato es bonito y la casa es grande") == "es")
+    assert(TextAnalysis.langIdOf("der Hund und die Katze sind nicht im Haus") == "de")
+    assert(TextAnalysis.langIdOf("这是一个中文句子没有空格") == "zh")
+    assert(TextAnalysis.langIdOf("это русское предложение для теста") == "ru")
+    assert(TextAnalysis.langIdOf("") == "und")
+    assert(TextAnalysis.langIdOf("12345 67890 !!!") == "und")
+  }
+
+  test("rolling hashes are shift-consistent (Rabin-Karp property)") {
+    val a = TextAnalysis.rollingHashes("abcdefghijklmnopqrstuvwxyz", 16)
+    val b = TextAnalysis.rollingHashes("XYZabcdefghijklmnopqrstuvwxyz", 16)
+    // window "defghijklmnopqrs" occurs in both at different offsets
+    assert(a.toSet.intersect(b.toSet).nonEmpty)
+    // deterministic
+    assert(a.toSeq == TextAnalysis.rollingHashes("abcdefghijklmnopqrstuvwxyz", 16).toSeq)
+  }
+
+  test("winnowing picks stable fingerprints for shared passages") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again"
+    val d1 = "AAAA " + shared + " BBBB"
+    val d2 = "CCCCCC " + shared + " DD"
+    val f1 = TextAnalysis.winnow(TextAnalysis.rollingHashes(d1, 16), 8).toSet
+    val f2 = TextAnalysis.winnow(TextAnalysis.rollingHashes(d2, 16), 8).toSet
+    val overlap = f1.intersect(f2).size.toDouble / math.min(f1.size, f2.size)
+    assert(overlap > 0.4, s"shared-passage fingerprint overlap was $overlap")
+    val unrelated = TextAnalysis.winnow(
+      TextAnalysis.rollingHashes("zzz completely different content here entirely", 16), 8).toSet
+    assert(f1.intersect(unrelated).isEmpty)
+  }
+
+  test("winnow handles short inputs") {
+    assert(TextAnalysis.winnow(Array.empty[Long], 8).isEmpty)
+    assert(TextAnalysis.winnow(Array(5L, 3L), 8).toSeq == Seq(3L))
+    assert(TextAnalysis.rollingHashes("ab", 16).length == 1)
+  }
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.pipeline.Page
+
+/** Structured-Streaming form of the pipeline: same kernel per micro-batch,
+  * watermarked windowed metrics.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("streaming-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def page(url: String, minute: Int, html: String) =
+    Page(url, java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00"),
+      html.getBytes("UTF-8"), null, "en")
+
+  test("extraction runs per micro-batch over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Page]
+    val q = ExtractStream.run(input.toDF())
+      .writeStream.format("memory").queryName("parsed_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        page("u1", 0, "<span>o<p>a</p><p>b</p>c</span>"),
+        page("u2", 1, "<div><h3>broken"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT url, parse_ok, text_out FROM parsed_stream ORDER BY url")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(2) == "o\na\nb\nc" && rows(0).getBoolean(1))
+      assert(!rows(1).getBoolean(1))
+    } finally q.stop()
+  }
+
+  test("watermarked windowed metrics aggregate per minute") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Page]
+    val metrics = ExtractStream.windowedMetrics(ExtractStream.run(input.toDF()))
+    val q = metrics.writeStream.format("memory").queryName("metrics_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        page("a", 0, "<p>x</p>"), page("b", 0, "<p><h3>bad"),
+        page("c", 1, "<p>y</p>"))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the earlier windows
+      input.addData(page("z", 30, "<p>late</p>"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window.start, docs, parse_errors FROM metrics_stream ORDER BY window.start")
+        .collect()
+      assert(rows.length >= 2)
+      assert(rows(0).getLong(1) == 2 && rows(0).getLong(2) == 1) // minute 0
+      assert(rows(1).getLong(1) == 1 && rows(1).getLong(2) == 0) // minute 1
+    } finally q.stop()
+  }
+}
