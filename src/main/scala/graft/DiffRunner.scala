@@ -1,0 +1,105 @@
+package graft
+
+import graft.kernel._
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Kernel-side differential-test runner: emits the same md5-fingerprint
+  * records as tools/ref_runner.js (which drives the transpiled reference
+  * engine), so tools/diff_check.py can compare every observable output —
+  * validity, serialization, extraction, structure, JSON shape, selector
+  * results, mutation paths, attribute maps — over the fuzz corpus.
+  *
+  *   runMain graft.DiffRunner <inputDir> <out.json>
+  */
+object DiffRunner {
+
+  private def md5(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+  }
+
+  private val optionSets: Seq[(String, ParseOptions)] = Seq(
+    "default" -> ParseOptions(),
+    "comment" -> ParseOptions(comment = true),
+    "all" -> ParseOptions(comment = true, script = true, style = true, pre = true),
+    "lower" -> ParseOptions(lowerCaseTagName = true))
+
+  private val selectors: Seq[String] = Seq(
+    "div", "p", "a", "span", "#x1", ".c2", "div p", "[href]",
+    "[class~=\"d3\"]", "a[href^=\"https://\"]", "li", "*", "div, span",
+    "#x1 span", "[attr=\">\"]", "ul li", "td", "my-widget", "ns:tag", "[id]")
+
+  private def q(s: String) = JsonUtil.quote(s)
+
+  private def attrsJson(m: java.util.LinkedHashMap[String, String]): String = {
+    val sb = new java.lang.StringBuilder("{")
+    val it = m.entrySet().iterator()
+    var first = true
+    while (it.hasNext) {
+      val e = it.next()
+      if (!first) sb.append(',')
+      first = false
+      sb.append(q(e.getKey)).append(':').append(q(e.getValue))
+    }
+    sb.append('}').toString
+  }
+
+  def recordsFor(file: String, data: String): Seq[String] =
+    optionSets.map { case (oname, opts) =>
+      val sb = new java.lang.StringBuilder
+      sb.append('{').append(q("file")).append(':').append(q(file))
+        .append(',').append(q("opts")).append(':').append(q(oname))
+      try {
+        val root = HtmlParser.parse(data, opts)
+        sb.append(',').append(q("valid")).append(':').append(root.valid)
+        sb.append(',').append(q("outer")).append(':').append(q(md5(root.toHtml)))
+        sb.append(',').append(q("structured")).append(':').append(q(md5(root.structuredText)))
+        sb.append(',').append(q("text")).append(':').append(q(md5(root.text)))
+        sb.append(',').append(q("rawText")).append(':').append(q(md5(root.rawText)))
+        sb.append(',').append(q("structure")).append(':').append(q(md5(root.structure)))
+        sb.append(',').append(q("json")).append(':').append(q(md5(root.toJsonString)))
+        sb.append(',').append(q("sel")).append(":{")
+        var firstSel = true
+        selectors.foreach { s =>
+          if (!firstSel) sb.append(',')
+          firstSel = false
+          val all = root.querySelectorAll(s)
+          val first = root.querySelector(s)
+          sb.append(q(s)).append(":[").append(all.length).append(',')
+            .append(q(md5(all.map(_.toHtml).mkString(" ")))).append(',')
+            .append(first.map(e => q(md5(e.toHtml))).getOrElse(q("null")))
+            .append(']')
+        }
+        sb.append('}')
+        val r2 = HtmlParser.parse(data, opts)
+        r2.removeWhitespace()
+        sb.append(',').append(q("removeWs")).append(':').append(q(md5(r2.toHtml)))
+        root.childNodes.collectFirst { case e: Element => e }.foreach { el =>
+          sb.append(',').append(q("attrs")).append(':').append(q(md5(attrsJson(el.attributes))))
+          sb.append(',').append(q("rawAttrs")).append(':').append(q(md5(attrsJson(el.rawAttributes))))
+          sb.append(',').append(q("idClass")).append(':')
+            .append(q(md5(el.id + " " + el.classNames.mkString(","))))
+        }
+      } catch {
+        case e: Throwable =>
+          sb.append(',').append(q("error")).append(':').append(q(e.toString.take(200)))
+      }
+      sb.append('}').toString
+    }
+
+  def main(args: Array[String]): Unit = {
+    val dir = Paths.get(args(0))
+    val out = args(1)
+    val files = Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".html"))
+      .toSeq.sortBy(_.getFileName.toString)
+    val records = files.flatMap { p =>
+      val data = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
+      recordsFor(p.getFileName.toString, data)
+    }
+    Files.writeString(Paths.get(out), records.mkString("[", ",", "]"))
+    println(s"wrote ${records.length} records to $out")
+  }
+}

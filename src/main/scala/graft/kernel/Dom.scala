@@ -491,19 +491,22 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
     Query.querySelector(this, matcher)
 }
 
-private[kernel] object JsonUtil {
+private[graft] object JsonUtil {
   def quote(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length + 2)
     sb.append('"')
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
+      // exact JSON.stringify escaping (incl. \b and \f shorthands)
       c match {
         case '"' => sb.append("\\\"")
         case '\\' => sb.append("\\\\")
         case '\n' => sb.append("\\n")
         case '\r' => sb.append("\\r")
         case '\t' => sb.append("\\t")
+        case '\b' => sb.append("\\b")
+        case '\f' => sb.append("\\f")
         case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
         case c => sb.append(c)
       }

@@ -75,8 +75,119 @@ object HtmlParser {
     var self: Boolean = false
   }
 
+  private final class TagTail {
+    var end: Int = 0
+    var blobEnd: Int = 0
+    var self: Boolean = false
+    // reusable DFS scratch (one instance per parse, not per token)
+    val fpos = new ArrayBuffer[Int](8)
+    val fchoice = new ArrayBuffer[Int](8)
+  }
+
+  private def isJunkChar(c: Char): Boolean =
+    c != '<' && c != '>' && c != '/' && !Js.isSpace(c)
+
+  /** Match the post-tag-name region `((\s*ATTR)*)\s*(\/?)>` with the same
+    * backtracking choices as the reference regex (kMarkupPattern) — a greedy
+    * one-pass scan is NOT equivalent: e.g. in `<tbody novalue= href="a//b">`
+    * the regex retries `novalue` as value-less, eats `=` as a junk token,
+    * and matches `href="a//b"` as a quoted attr that may jump `/` and `>`.
+    *
+    * DFS with a failed-position memo; choices per position in regex
+    * alternation order: key-with-value, key-only, junk run, then close.
+    * (Shortening greedy key/junk/bare-value runs never reaches new
+    * positions — their stopper sets coincide — so only these four choices
+    * need exploring.)
+    */
+  private def matchTagTail(data: String, start: Int, tail: TagTail): Boolean = {
+    val n = data.length
+    var failed: java.util.HashSet[Integer] = null
+    def isFailed(p: Int) = failed != null && failed.contains(p)
+    val fpos = tail.fpos
+    val fchoice = tail.fchoice
+    fpos.clear(); fchoice.clear()
+    fpos += start; fchoice += 0
+    while (fpos.nonEmpty) {
+      val top = fpos.length - 1
+      val p = fpos(top)
+      val choice = fchoice(top)
+      fchoice(top) = choice + 1
+      var m = p
+      while (m < n && Js.isSpace(data.charAt(m))) m += 1
+
+      var pushTarget = -1
+      var done = false
+      (choice: @annotation.switch) match {
+        case 0 => // key ( \s*=\s* value )?
+          if (m < n && isAsciiLetter(data.charAt(m))) {
+            var e = m + 1
+            while (e < n && AttrScanner.isNameChar(data.charAt(e))) e += 1
+            var v = e
+            while (v < n && Js.isSpace(data.charAt(v))) v += 1
+            if (v < n && data.charAt(v) == '=') {
+              v += 1
+              while (v < n && Js.isSpace(data.charAt(v))) v += 1
+              if (v < n && (data.charAt(v) == '"' || data.charAt(v) == '\'')) {
+                val close = data.indexOf(data.charAt(v), v + 1)
+                if (close >= 0) pushTarget = close + 1
+              } else {
+                // bare: (?:\/(?!>)|[^\s"'<>/])+  — maximal
+                var b = v
+                var stop = false
+                while (b < n && !stop) {
+                  val c = data.charAt(b)
+                  if (c == '/') {
+                    if (b + 1 < n && data.charAt(b + 1) == '>') stop = true
+                    else b += 1
+                  } else if (c == '<' || c == '>' || c == '"' || c == '\'' ||
+                      Js.isSpace(c)) stop = true
+                  else b += 1
+                }
+                if (b > v) pushTarget = b
+              }
+            }
+          }
+        case 1 => // key only (optional value group skipped)
+          if (m < n && isAsciiLetter(data.charAt(m))) {
+            var e = m + 1
+            while (e < n && AttrScanner.isNameChar(data.charAt(e))) e += 1
+            pushTarget = e
+          }
+        case 2 => // junk run [^<>/\s]+ (also retried over a key start)
+          if (m < n && isJunkChar(data.charAt(m))) {
+            var e = m + 1
+            while (e < n && isJunkChar(data.charAt(e))) e += 1
+            pushTarget = e
+          }
+        case 3 => // stop the attr loop: \s* (\/?) >
+          if (m < n && data.charAt(m) == '/' && m + 1 < n && data.charAt(m + 1) == '>') {
+            tail.end = m + 2; tail.self = true; tail.blobEnd = p
+            return true
+          } else if (m < n && data.charAt(m) == '>') {
+            tail.end = m + 1; tail.self = false; tail.blobEnd = p
+            return true
+          }
+          done = true
+        case _ =>
+          done = true
+      }
+
+      if (done) {
+        // all choices exhausted at p
+        if (failed == null) failed = new java.util.HashSet[Integer]
+        failed.add(p)
+        fpos.remove(top)
+        fchoice.remove(top)
+      } else if (pushTarget >= 0 && pushTarget != p && !isFailed(pushTarget)) {
+        fpos += pushTarget
+        fchoice += 0
+      }
+    }
+    false
+  }
+
   /** Find the next markup token at or after `from`; null when none. */
-  private def nextToken(data: String, from: Int, tok: Token): Token = {
+  private def nextToken(data: String, from: Int, tok: Token, tail: TagTail): Token = {
     val n = data.length
     var i = data.indexOf('<', from)
     while (i >= 0 && i < n) {
@@ -98,75 +209,11 @@ object HtmlParser {
           j += 1
           while (j < n && AttrScanner.isNameChar(data.charAt(j))) j += 1
           val tag = data.substring(nameStart, j)
-          // attribute blob
-          val blobStart = j
-          var blobEnd = j
-          var k = j
-          var done = false
-          while (!done) {
-            var m = k
-            while (m < n && Js.isSpace(data.charAt(m))) m += 1
-            if (m < n && isAsciiLetter(data.charAt(m))) {
-              // key(=value)?
-              var e = m + 1
-              while (e < n && AttrScanner.isNameChar(data.charAt(e))) e += 1
-              var v = e
-              while (v < n && Js.isSpace(data.charAt(v))) v += 1
-              if (v < n && data.charAt(v) == '=') {
-                v += 1
-                while (v < n && Js.isSpace(data.charAt(v))) v += 1
-                if (v < n && (data.charAt(v) == '"' || data.charAt(v) == '\'')) {
-                  val q = data.charAt(v)
-                  val close = data.indexOf(q, v + 1)
-                  if (close >= 0) k = close + 1
-                  else k = e // unterminated quoted value → attr is key-only
-                } else {
-                  // bare value: (?:\/(?!>)|[^\s"'<>/])+
-                  var b = v
-                  var stop = false
-                  while (b < n && !stop) {
-                    val c = data.charAt(b)
-                    if (c == '/') {
-                      if (b + 1 < n && data.charAt(b + 1) == '>') stop = true
-                      else b += 1
-                    } else if (c == '<' || c == '>' || c == '"' || c == '\'' ||
-                        Js.isSpace(c)) stop = true
-                    else b += 1
-                  }
-                  if (b > v) k = b else k = e // no value chars → key-only
-                }
-              } else k = e
-              blobEnd = k
-            } else if (m < n && {
-                val c = data.charAt(m)
-                c != '<' && c != '/' && c != '>' && !Js.isSpace(c)
-              }) {
-              // junk token [^<>/\s]+
-              var e = m + 1
-              while (e < n && {
-                  val c = data.charAt(e)
-                  c != '<' && c != '/' && c != '>' && !Js.isSpace(c)
-                }) e += 1
-              k = e
-              blobEnd = k
-            } else done = true
-          }
-          // trailing \s* (/?) >
-          var m = k
-          while (m < n && Js.isSpace(data.charAt(m))) m += 1
-          var self = false
-          var ok = false
-          var end = m
-          if (m < n && data.charAt(m) == '/' && m + 1 < n && data.charAt(m + 1) == '>') {
-            self = true; ok = true; end = m + 2
-          } else if (m < n && data.charAt(m) == '>') {
-            ok = true; end = m + 1
-          }
-          if (ok) {
-            tok.start = i; tok.end = end; tok.isComment = false
+          if (matchTagTail(data, j, tail)) {
+            tok.start = i; tok.end = tail.end; tok.isComment = false
             tok.closing = closing; tok.tag = tag
-            tok.attrBlob = data.substring(blobStart, blobEnd)
-            tok.self = self
+            tok.attrBlob = data.substring(j, tail.blobEnd)
+            tok.self = tail.self
             return tok
           }
         }
@@ -189,10 +236,11 @@ object HtmlParser {
     var pos = 0
     val n = data.length
     val tok = new Token
+    val tail = new TagTail
     var running = true
 
     while (running && pos <= n) {
-      val t = nextToken(data, pos, tok)
+      val t = nextToken(data, pos, tok, tail)
       if (t == null) running = false
       else {
         if (t.start > lastTextPos)

