@@ -62,7 +62,7 @@ object DiffRunner {
         sb.append(',').append(q("json")).append(':').append(q(md5(root.toJsonString)))
         sb.append(',').append(q("sel")).append(":{")
         var firstSel = true
-        selectors.foreach { s =>
+        allSelectors.foreach { s =>
           if (!firstSel) sb.append(',')
           firstSel = false
           val all = root.querySelectorAll(s)
@@ -89,9 +89,15 @@ object DiffRunner {
       sb.append('}').toString
     }
 
+  @volatile private var extraSelectors: Seq[String] = Seq.empty
+  private def allSelectors: Seq[String] = selectors ++ extraSelectors
+
   def main(args: Array[String]): Unit = {
     val dir = Paths.get(args(0))
     val out = args(1)
+    val selFile = dir.resolve("selectors.txt")
+    if (Files.exists(selFile))
+      extraSelectors = Files.readString(selFile).split('\n').toSeq.filter(_.nonEmpty)
     val files = Files.list(dir).iterator().asScala
       .filter(_.getFileName.toString.endsWith(".html"))
       .toSeq.sortBy(_.getFileName.toString)

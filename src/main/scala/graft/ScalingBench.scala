@@ -75,8 +75,14 @@ object ScalingBench {
     val thr4b = docs / best(times4N)
     val thrNm = docs / median(timesN)
     val thr4m = docs / median(times4N)
+    // pairwise efficiency: each (N, 4N) pair runs back-to-back, so slow host
+    // windows hit both sides of the ratio — the median of pair ratios is the
+    // noise-robust estimator on this shared VM
+    val pairEff = timesN.indices.map(i => timesN(i) / (4 * times4N(i))).toArray
+    val effPairMed = median(pairEff)
+    val effPairMax = pairEff.max
     println(
-      f"""{"metric":"scaling","n_cores":$n,"docs":$docs,"thr_N_best":$thrNb%.1f,"thr_4N_best":$thr4b%.1f,"thr_N_median":$thrNm%.1f,"thr_4N_median":$thr4m%.1f,"efficiency_best":${thr4b / (4 * thrNb)}%.3f,"efficiency_median":${thr4m / (4 * thrNm)}%.3f}""")
+      f"""{"metric":"scaling","n_cores":$n,"docs":$docs,"thr_N_best":$thrNb%.1f,"thr_4N_best":$thr4b%.1f,"thr_N_median":$thrNm%.1f,"thr_4N_median":$thr4m%.1f,"efficiency_best":${thr4b / (4 * thrNb)}%.3f,"efficiency_median":${thr4m / (4 * thrNm)}%.3f,"efficiency_pair_median":$effPairMed%.3f,"efficiency_pair_max":$effPairMax%.3f}""")
     spark.stop()
   }
 }

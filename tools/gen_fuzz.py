@@ -101,4 +101,53 @@ if os.path.isdir(ref):
         open(os.path.join(outdir, f"corpus_{name}_mut.html"), "w").write(
             data.replace("</", "<"))
 
+# randomized selectors (parser edge cases) — shared by both runners
+sel_rng = random.Random(seed + 1)
+frags_tag = ["div", "p", "a", "*", "_", "my-widget", "ns:tag", "DIV", "9bad", ""]
+frags_id = ["#x1", "#y-2", "#", "#!", ""]
+frags_cls = [".c2", ".c2.d3", ".", ".-x", ".c2.", ""]
+frags_attr = ["[href]", "[class~=\"d3\"]", "[href^='https://']", "[a=b]",
+              "[a='b c']", "[x!=y]", "[t$=\".com\"]", "[u*=co]", "[lang|=en]",
+              "[a=]", "[=b]", "[ a ]", "[a ]", "[]", "[a='b]", "[a=\"b\"c]", ""]
+def comma_part_safe(p):
+    """The REFERENCE hangs (zero-length regex match infinite loop) when a
+    comma-part's position 0 parses to nothing (e.g. "9bad", "[]", "#!",
+    ".[...]") — a genuine reference bug we must not trigger in differential
+    runs. Our kernel handles these inputs gracefully (skips the part).
+    """
+    p = p.strip()
+    if not p:
+        return True
+    c = p[0]
+    if c.isalpha() or c in "_*":
+        return True
+    if c in "#." and len(p) > 1 and (p[1].isalnum() or p[1] in "_-"):
+        return True
+    if c == "[":
+        j = p.find("]")
+        return j > 1
+    return False
+
+
+sels = set()
+while len(sels) < 60:
+    n_parts = sel_rng.randint(1, 3)
+    parts = []
+    for _ in range(n_parts):
+        p = (sel_rng.choice(frags_tag) + sel_rng.choice(frags_id)
+             + sel_rng.choice(frags_cls) + sel_rng.choice(frags_attr))
+        if p:
+            parts.append(p)
+    if not parts:
+        continue
+    sel = " ".join(parts)
+    if sel_rng.random() < 0.25:
+        sel = sel + ", " + sel_rng.choice(frags_tag + frags_cls[:2])
+    if not all(comma_part_safe(x) for x in sel.split(",")):
+        sel = "div " + sel.replace(",", ", div")
+    if all(comma_part_safe(x) for x in sel.split(",")):
+        sels.add(sel)
+with open(os.path.join(outdir, "selectors.txt"), "w") as f:
+    f.write("\n".join(sorted(sels)))
+
 print(f"wrote {len(os.listdir(outdir))} files to {outdir}")

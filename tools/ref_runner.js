@@ -63,6 +63,11 @@ function record(file, data) {
 }
 
 const [dir, outPath] = process.argv.slice(2);
+const selFile = path.join(dir, 'selectors.txt');
+if (fs.existsSync(selFile)) {
+  for (const s of fs.readFileSync(selFile).toString().split('\n'))
+    if (s) SELECTORS.push(s);
+}
 const results = [];
 for (const f of fs.readdirSync(dir).sort()) {
   if (!f.endsWith('.html')) continue;
