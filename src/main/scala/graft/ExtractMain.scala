@@ -46,17 +46,33 @@ object ExtractMain {
         spark.stop()
         sys.exit(17)
       }
+      val t0 = System.nanoTime()
       val slice = pending.filter(col(TableIO.BucketCol) === bucket)
         .drop(TableIO.BucketCol)
       val parsed = ExtractJob.run(slice, saltPartitions = saltParts).toDF()
       TableIO.writeBucket(parsed, outTable, bucket)
-      println(s"[extract] committed bucket $bucket")
+      val wall = (System.nanoTime() - t0) / 1e9
+      // lineage + throughput metrics from the just-written parquet (cheap:
+      // column stats only, no re-parse)
+      val written = spark.read.parquet(s"$outTable/${TableIO.BucketCol}=$bucket")
+      val m = written.agg(count(lit(1)),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)),
+        sum("n_bytes"), sum(length(col("text_out")).cast("long"))).collect().head
+      TableIO.writeBucketMetrics(spark, outTable, TableIO.BucketMetrics(
+        bucket, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
+        wall, m.getLong(0) / math.max(wall, 1e-9), attempt = 1))
+      println(f"[extract] committed bucket $bucket: ${m.getLong(0)} docs in $wall%.2f s")
     }
 
     val out = spark.read.parquet(outTable)
     val m = out.agg(count(lit(1)), sum(when(col("parse_ok"), 1L).otherwise(0L)),
       sum("n_bytes")).collect().head
     println(s"""[extract] done: docs=${m.getLong(0)} parse_ok=${m.getLong(1)} bytes_in=${m.getLong(2)} buckets=${TableIO.committedBuckets(outTable).size}""")
+    val mt = TableIO.metricsTable(spark, outTable)
+    if (!mt.isEmpty) {
+      val tot = mt.agg(sum("docs"), sum("wall_sec")).collect().head
+      println(f"[extract] metrics table: ${mt.count()} bucket rows, ${tot.getLong(0)} docs, ${tot.getDouble(1)}%.2f kernel-sec")
+    }
     spark.stop()
   }
 }

@@ -71,4 +71,40 @@ object TableIO {
     */
   def resumeByUrl(pages: DataFrame, committedUrls: DataFrame): DataFrame =
     pages.join(committedUrls.select("url"), Seq("url"), "left_anti")
+
+  /** Per-bucket lineage + throughput metrics row, checkpointed alongside the
+    * data (north_star: "per-partition lineage + parse-error/throughput
+    * metrics checkpointed to a metrics table so any run is resumable").
+    */
+  final case class BucketMetrics(
+      bucket: Long,
+      docs: Long,
+      parse_ok_docs: Long,
+      bytes_in: Long,
+      chars_out: Long,
+      wall_sec: Double,
+      docs_per_sec: Double,
+      attempt: Int)
+
+  /** Append a metrics row for a committed bucket under `_metrics/` (each
+    * bucket's metrics live in their own subdir so re-runs overwrite rather
+    * than duplicate — idempotent like the data itself).
+    */
+  def writeBucketMetrics(spark: SparkSession, table: String, m: BucketMetrics): Unit = {
+    import spark.implicits._
+    Seq(m).toDS().toDF()
+      .coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"$table/_metrics/bucket=${m.bucket}")
+  }
+
+  /** The metrics table across all committed buckets (empty schema-correct
+    * frame when none exist yet).
+    */
+  def metricsTable(spark: SparkSession, table: String): DataFrame = {
+    import spark.implicits._
+    val dir = Paths.get(table, "_metrics")
+    if (!Files.isDirectory(dir)) spark.emptyDataset[BucketMetrics].toDF()
+    else spark.read.parquet(s"$table/_metrics/bucket=*")
+  }
 }

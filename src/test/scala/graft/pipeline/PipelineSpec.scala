@@ -80,6 +80,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == bucketed.filter(col(TableIO.BucketCol) === 1L).count())
   }
 
+  test("bucket metrics table is checkpointed and idempotent") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    TableIO.writeBucketMetrics(spark, dir,
+      TableIO.BucketMetrics(3L, 100L, 90L, 5000L, 4000L, 1.5, 66.7, 1))
+    TableIO.writeBucketMetrics(spark, dir,
+      TableIO.BucketMetrics(4L, 50L, 50L, 2000L, 1500L, 0.5, 100.0, 1))
+    // re-write of the same bucket overwrites (no duplicate lineage rows)
+    TableIO.writeBucketMetrics(spark, dir,
+      TableIO.BucketMetrics(3L, 100L, 90L, 5000L, 4000L, 1.2, 83.3, 2))
+    val mt = TableIO.metricsTable(spark, dir)
+    assert(mt.count() == 2)
+    val row3 = mt.filter(col("bucket") === 3L).collect().head
+    assert(row3.getAs[Int]("attempt") == 2)
+    assert(TableIO.metricsTable(spark, "/nonexistent_graft_table").isEmpty)
+  }
+
   test("resumeByUrl anti-join removes committed urls") {
     import spark.implicits._
     val pages = Seq("a", "b", "c", "d").map(u => (u, 1)).toDF("url", "v")
