@@ -50,17 +50,20 @@ object ExtractMain {
       val slice = pending.filter(col(TableIO.BucketCol) === bucket)
         .drop(TableIO.BucketCol)
       val parsed = ExtractJob.run(slice, saltPartitions = saltParts).toDF()
-      TableIO.writeBucket(parsed, outTable, bucket)
+      TableIO.writeBucketData(parsed, outTable, bucket)
       val wall = (System.nanoTime() - t0) / 1e9
-      // lineage + throughput metrics from the just-written parquet (cheap:
-      // column stats only, no re-parse)
+      // ONE read of the written parquet serves both the lineage metrics and
+      // the manifest row count (no recompute of the parse); the metrics row
+      // lands BEFORE the manifest so a crash between the two can only lose
+      // an uncommitted bucket, never a committed bucket's lineage
       val written = spark.read.parquet(s"$outTable/${TableIO.BucketCol}=$bucket")
-      val m = written.agg(count(lit(1)),
-        sum(when(col("parse_ok"), 1L).otherwise(0L)),
-        sum("n_bytes"), sum(length(col("text_out")).cast("long"))).collect().head
+      val m = written.agg(ExtractJob.metricAggs.head, ExtractJob.metricAggs.tail: _*)
+        .collect().head
       TableIO.writeBucketMetrics(spark, outTable, TableIO.BucketMetrics(
         bucket, m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3),
-        wall, m.getLong(0) / math.max(wall, 1e-9), attempt = 1))
+        wall, m.getLong(0) / math.max(wall, 1e-9),
+        attempt = TableIO.nextAttempt(spark, outTable, bucket)))
+      TableIO.commitManifest(outTable, bucket, m.getLong(0))
       println(f"[extract] committed bucket $bucket: ${m.getLong(0)} docs in $wall%.2f s")
     }
 
@@ -71,7 +74,7 @@ object ExtractMain {
     val mt = TableIO.metricsTable(spark, outTable)
     if (!mt.isEmpty) {
       val tot = mt.agg(sum("docs"), sum("wall_sec")).collect().head
-      println(f"[extract] metrics table: ${mt.count()} bucket rows, ${tot.getLong(0)} docs, ${tot.getDouble(1)}%.2f kernel-sec")
+      println(f"[extract] metrics table: ${mt.count()} bucket rows, ${tot.getLong(0)} docs, ${tot.getDouble(1)}%.2f wall-sec")
     }
     spark.stop()
   }

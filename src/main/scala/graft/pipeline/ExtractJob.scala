@@ -67,12 +67,18 @@ object ExtractJob {
       }
   }
 
+  /** Shared metric aggregate columns — single definition so the per-lang
+    * metrics and the per-bucket lineage table can never diverge.
+    */
+  val metricAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("docs"),
+    sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parse_ok_docs"),
+    sum("n_bytes").as("bytes_in"),
+    sum(length(col("text_out")).cast("long")).as("chars_out"))
+
   /** Per-lang pipeline metrics (hash aggregation: partial+final for free). */
   def metrics(parsed: Dataset[ParsedDoc]): DataFrame =
     parsed.groupBy("lang").agg(
-      count("*").as("docs"),
-      sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parse_ok_docs"),
-      sum("n_bytes").as("bytes_in"),
-      sum(length(col("text_out")).cast("long")).as("chars_out"),
-      sum("n_links").as("links"))
+      metricAggs.head,
+      metricAggs.tail :+ sum("n_links").as("links"): _*)
 }

@@ -36,15 +36,14 @@ object TableIO {
         .toSet
   }
 
-  /** Idempotent bucket write: write the partition dir, then atomically drop a
-    * manifest. A re-run after a crash rewrites any uncommitted bucket
-    * (overwrite) and skips committed ones — no duplicate output.
+  /** Write a bucket's data (no commit yet — the manifest is the commit
+    * point and must come LAST, after any lineage/metrics writes).
     */
-  def writeBucket(df: DataFrame, table: String, bucket: Long): Unit = {
+  def writeBucketData(df: DataFrame, table: String, bucket: Long): Unit =
     df.write.mode("overwrite").parquet(s"$table/$BucketCol=$bucket")
-    // row count for the manifest comes from parquet footers (metadata-only
-    // scan) — counting `df` up front would compute the whole bucket twice
-    val rows = df.sparkSession.read.parquet(s"$table/$BucketCol=$bucket").count()
+
+  /** Atomically commit a bucket by dropping its manifest. */
+  def commitManifest(table: String, bucket: Long, rows: Long): Unit = {
     val dir = manifestDir(table)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s".bucket-$bucket.json.tmp")
@@ -53,6 +52,17 @@ object TableIO {
     Files.move(tmp, fin,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Idempotent bucket write + commit. A re-run after a crash rewrites any
+    * uncommitted bucket (overwrite) and skips committed ones — no duplicate
+    * output. The manifest row count comes from one read of the written
+    * parquet (footer metadata), not a recompute of `df`.
+    */
+  def writeBucket(df: DataFrame, table: String, bucket: Long): Unit = {
+    writeBucketData(df, table, bucket)
+    val rows = df.sparkSession.read.parquet(s"$table/$BucketCol=$bucket").count()
+    commitManifest(table, bucket, rows)
   }
 
   /** Filter the input to not-yet-committed buckets (partition-level resume)
@@ -98,13 +108,38 @@ object TableIO {
       .parquet(s"$table/_metrics/bucket=${m.bucket}")
   }
 
-  /** The metrics table across all committed buckets (empty schema-correct
-    * frame when none exist yet).
+  /** The metrics table across all buckets that have a complete metrics file
+    * (empty schema-correct frame when none exist yet; a bucket dir holding
+    * only a crashed write's `_temporary/` leftovers is skipped rather than
+    * failing schema inference).
     */
   def metricsTable(spark: SparkSession, table: String): DataFrame = {
     import spark.implicits._
     val dir = Paths.get(table, "_metrics")
-    if (!Files.isDirectory(dir)) spark.emptyDataset[BucketMetrics].toDF()
-    else spark.read.parquet(s"$table/_metrics/bucket=*")
+    val bucketDirs =
+      if (!Files.isDirectory(dir)) Seq.empty[String]
+      else
+        Files.list(dir).iterator().asScala
+          .filter(p => p.getFileName.toString.startsWith("bucket="))
+          .filter(p => Files.isDirectory(p) &&
+            Files.list(p).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet")))
+          .map(_.toString).toSeq
+    if (bucketDirs.isEmpty) spark.emptyDataset[BucketMetrics].toDF()
+    else spark.read.parquet(bucketDirs: _*) // bucket is a data column
+  }
+
+  /** Attempt number for the next metrics row of `bucket` (1 + the highest
+    * previously recorded attempt — counts retries across crashes).
+    */
+  def nextAttempt(spark: SparkSession, table: String, bucket: Long): Int = {
+    val d = Paths.get(table, "_metrics", s"bucket=$bucket")
+    val hasData = Files.isDirectory(d) &&
+      Files.list(d).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+    if (!hasData) 1
+    else
+      try {
+        spark.read.parquet(d.toString)
+          .agg(max("attempt")).collect().head.getInt(0) + 1
+      } catch { case _: Throwable => 1 }
   }
 }
