@@ -82,6 +82,23 @@ object DiffRunner {
           sb.append(',').append(q("idClass")).append(':')
             .append(q(md5(el.id + " " + el.classNames.mkString(","))))
         }
+        // mutation chain on a fresh parse (mirrors ref_runner.js)
+        val r3 = HtmlParser.parse(data, opts)
+        r3.childNodes.collectFirst { case e: Element => e }.foreach { el3 =>
+          el3.setAttribute("data-mut", "v<&\"1")
+          el3.setAttribute("id", "mut-id")
+          el3.setAttribute("bare", "")
+          el3.removeAttribute("class")
+          sb.append(',').append(q("mutAttr")).append(':')
+            .append(q(md5(r3.toHtml + "|" + el3.id + "|" + el3.classNames.mkString(","))))
+          el3.innerHTML = "<p class=\"q\">rep &amp; laced</p>"
+          sb.append(',').append(q("mutInner")).append(':').append(q(md5(r3.toHtml)))
+          el3.setContent("plain text only")
+          sb.append(',').append(q("mutContent")).append(':').append(q(md5(r3.toHtml)))
+        }
+        val r4 = HtmlParser.parse(data, opts)
+        r4.trimRight("[aeiou]".r)
+        sb.append(',').append(q("mutTrim")).append(':').append(q(md5(r4.toHtml)))
       } catch {
         case e: Throwable =>
           sb.append(',').append(q("error")).append(':').append(q(e.toString.take(200)))

@@ -27,7 +27,8 @@ for key in sorted(set(ref) & set(ker)):
             mismatch_examples.setdefault("kernel-error-only", key)
         continue
     for field in ("valid", "outer", "structured", "text", "rawText",
-                  "structure", "json", "removeWs", "attrs", "rawAttrs", "idClass"):
+                  "structure", "json", "removeWs", "attrs", "rawAttrs",
+                  "idClass", "mutAttr", "mutInner", "mutContent", "mutTrim"):
         if a.get(field) != b.get(field):
             mismatch_fields[field] += 1
             mismatch_examples.setdefault(field, key)

@@ -54,6 +54,24 @@ function record(file, data) {
         rec.rawAttrs = md5(JSON.stringify(firstEl.rawAttributes));
         rec.idClass = md5(firstEl.id + ' ' + firstEl.classNames.join(','));
       }
+      // mutation chain on a fresh parse: setAttribute / removeAttribute /
+      // innerHTML= / set_content / trimRight, then serialize
+      const r3 = parse(data, opts);
+      const el3 = r3.childNodes.find(c => c.nodeType === 1);
+      if (el3) {
+        el3.setAttribute('data-mut', 'v<&"1');
+        el3.setAttribute('id', 'mut-id');
+        el3.setAttribute('bare', '');
+        el3.removeAttribute('class');
+        rec.mutAttr = md5(r3.toString() + '|' + el3.id + '|' + el3.classNames.join(','));
+        el3.innerHTML = '<p class="q">rep &amp; laced</p>';
+        rec.mutInner = md5(r3.toString());
+        el3.set_content('plain text only');
+        rec.mutContent = md5(r3.toString());
+      }
+      const r4 = parse(data, opts);
+      r4.trimRight(/[aeiou]/);
+      rec.mutTrim = md5(r4.toString());
     } catch (e) {
       rec.error = String(e).slice(0, 200);
     }
