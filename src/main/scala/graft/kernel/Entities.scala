@@ -101,6 +101,8 @@ object Entities {
     151 -> 8212, 152 -> 732, 153 -> 8482, 154 -> 353, 155 -> 8250,
     156 -> 339, 158 -> 382, 159 -> 376)
 
+  private val maxLegacyLen: Int = legacyNames.iterator.map(_.length).max
+
   private def isAlnum(c: Char): Boolean =
     (c >= '0' && c <= '9') || (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
   private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
@@ -164,19 +166,30 @@ object Entities {
         if (k > i) {
           val name = s.substring(i, k)
           val hasSemi = k < n && s.charAt(k) == ';'
-          val repl =
-            if (hasSemi) named.get(name)
-            else if (legacyNames.contains(name)) named.get(name)
-            else null
-          if (repl != null) {
-            sb.append(repl)
-            pos = if (hasSemi) k + 1 else k
+          val full = if (hasSemi) named.get(name) else null
+          if (full != null) {
+            sb.append(full)
+            pos = k + 1
             consumed = true
           } else {
-            // unknown entity candidate: emitted verbatim (incl. optional ';')
-            val end = if (hasSemi) k + 1 else k
-            sb.append(s, amp, end)
-            pos = end
+            // WHATWG longest-match semantics (mirrored by html-entities'
+            // longest-first alternation): a legacy no-semicolon name may
+            // match as a PREFIX of a longer alnum run — "&copyright;" →
+            // "©right;", "&ampx" → "&x"
+            var plen = math.min(name.length, maxLegacyLen)
+            var found = -1
+            while (plen >= 2 && found < 0) {
+              if (legacyNames.contains(name.substring(0, plen))) found = plen
+              plen -= 1
+            }
+            if (found > 0) {
+              sb.append(named.get(name.substring(0, found)))
+              pos = i + found // the rest of the run (and any ';') stays
+            } else {
+              // unknown candidate: emitted verbatim (incl. optional ';')
+              pos = if (hasSemi) k + 1 else k
+              sb.append(s, amp, pos)
+            }
             consumed = true
           }
         }

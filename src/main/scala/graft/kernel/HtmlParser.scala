@@ -94,72 +94,138 @@ object HtmlParser {
     * and matches `href="a//b"` as a quoted attr that may jump `/` and `>`.
     *
     * DFS with a failed-position memo; choices per position in regex
-    * alternation order: key-with-value, key-only, junk run, then close.
-    * (Shortening greedy key/junk/bare-value runs never reaches new
-    * positions — their stopper sets coincide — so only these four choices
-    * need exploring.)
+    * alternation/backtracking order:
+    *   0. key with full greedy value
+    *   1. key with shortened bare value exposing a trailing `key2=` right
+    *      before a quote — the only shortening that can reach new positions,
+    *      because quoted values are the only token that jumps the stopper
+    *      chars (`<a p=ab="x<y">` matches via value `a` + `b="x<y"`)
+    *   2. key without value
+    *   3. full greedy junk run
+    *   4. junk shortened to expose an internal `key=` directly before a
+    *      quote char inside the run (`<a ~x="p<q">`)
+    *   5. stop the loop and close the tag
     */
   private def matchTagTail(data: String, start: Int, tail: TagTail): Boolean = {
     val n = data.length
     var failed: java.util.HashSet[Integer] = null
     def isFailed(p: Int) = failed != null && failed.contains(p)
+    def isQuote(c: Char) = c == '"' || c == '\''
+
+    def keyEnd(m: Int): Int = {
+      var e = m + 1
+      while (e < n && AttrScanner.isNameChar(data.charAt(e))) e += 1
+      e
+    }
+    // maximal bare value end from v, or v if none
+    def bareEnd(v: Int): Int = {
+      var b = v
+      var stop = false
+      while (b < n && !stop) {
+        val c = data.charAt(b)
+        if (c == '/') {
+          if (b + 1 < n && data.charAt(b + 1) == '>') stop = true else b += 1
+        } else if (c == '<' || c == '>' || isQuote(c) || Js.isSpace(c)) stop = true
+        else b += 1
+      }
+      b
+    }
+    // key starts (letters) of a `name=` suffix ending at `eq` (data(eq)=='='),
+    // constrained to start strictly after `lo`; descending order
+    def exposeStarts(lo: Int, eq: Int): Seq[Int] = {
+      var s = eq - 1
+      while (s > lo && AttrScanner.isNameChar(data.charAt(s - 1))) s -= 1
+      (s until eq).reverseIterator.filter(i => isAsciiLetter(data.charAt(i)) && i > lo).toSeq
+    }
+
     val fpos = tail.fpos
-    val fchoice = tail.fchoice
+    val fchoice = tail.fchoice // encodes stage * 1024 + subIdx
     fpos.clear(); fchoice.clear()
     fpos += start; fchoice += 0
     while (fpos.nonEmpty) {
       val top = fpos.length - 1
       val p = fpos(top)
-      val choice = fchoice(top)
-      fchoice(top) = choice + 1
+      val stage = fchoice(top) >> 10
+      val sub = fchoice(top) & 1023
       var m = p
       while (m < n && Js.isSpace(data.charAt(m))) m += 1
 
       var pushTarget = -1
       var done = false
-      (choice: @annotation.switch) match {
-        case 0 => // key ( \s*=\s* value )?
+      (stage: @annotation.switch) match {
+        case 0 => // key ( \s*=\s* full value )?
+          fchoice(top) = 1 << 10
           if (m < n && isAsciiLetter(data.charAt(m))) {
-            var e = m + 1
-            while (e < n && AttrScanner.isNameChar(data.charAt(e))) e += 1
+            val e = keyEnd(m)
             var v = e
             while (v < n && Js.isSpace(data.charAt(v))) v += 1
             if (v < n && data.charAt(v) == '=') {
               v += 1
               while (v < n && Js.isSpace(data.charAt(v))) v += 1
-              if (v < n && (data.charAt(v) == '"' || data.charAt(v) == '\'')) {
+              if (v < n && isQuote(data.charAt(v))) {
                 val close = data.indexOf(data.charAt(v), v + 1)
                 if (close >= 0) pushTarget = close + 1
               } else {
-                // bare: (?:\/(?!>)|[^\s"'<>/])+  — maximal
-                var b = v
-                var stop = false
-                while (b < n && !stop) {
-                  val c = data.charAt(b)
-                  if (c == '/') {
-                    if (b + 1 < n && data.charAt(b + 1) == '>') stop = true
-                    else b += 1
-                  } else if (c == '<' || c == '>' || c == '"' || c == '\'' ||
-                      Js.isSpace(c)) stop = true
-                  else b += 1
-                }
+                val b = bareEnd(v)
                 if (b > v) pushTarget = b
               }
             }
           }
-        case 1 => // key only (optional value group skipped)
+        case 1 => // bare value shortened to expose trailing key= before quote
+          var advanced = false
           if (m < n && isAsciiLetter(data.charAt(m))) {
-            var e = m + 1
-            while (e < n && AttrScanner.isNameChar(data.charAt(e))) e += 1
-            pushTarget = e
+            val e = keyEnd(m)
+            var v = e
+            while (v < n && Js.isSpace(data.charAt(v))) v += 1
+            if (v < n && data.charAt(v) == '=') {
+              v += 1
+              while (v < n && Js.isSpace(data.charAt(v))) v += 1
+              if (v < n && !isQuote(data.charAt(v))) {
+                val b = bareEnd(v)
+                if (b > v && b < n && isQuote(data.charAt(b)) &&
+                    b - 1 > v && data.charAt(b - 1) == '=') {
+                  val starts = exposeStarts(v, b - 1)
+                  if (sub < starts.length) {
+                    pushTarget = starts(sub)
+                    fchoice(top) = (1 << 10) | (sub + 1)
+                    advanced = true
+                  }
+                }
+              }
+            }
           }
-        case 2 => // junk run [^<>/\s]+ (also retried over a key start)
+          if (!advanced) fchoice(top) = 2 << 10
+          if (pushTarget < 0 && !advanced) { /* fall through to next stage */ }
+        case 2 => // key only (optional value group skipped)
+          fchoice(top) = 3 << 10
+          if (m < n && isAsciiLetter(data.charAt(m)))
+            pushTarget = keyEnd(m)
+        case 3 => // full junk run [^<>/\s]+
+          fchoice(top) = 4 << 10
           if (m < n && isJunkChar(data.charAt(m))) {
             var e = m + 1
             while (e < n && isJunkChar(data.charAt(e))) e += 1
             pushTarget = e
           }
-        case 3 => // stop the attr loop: \s* (\/?) >
+        case 4 => // junk shortened to expose internal key= before a quote
+          var advanced = false
+          if (m < n && isJunkChar(data.charAt(m))) {
+            var e = m + 1
+            while (e < n && isJunkChar(data.charAt(e))) e += 1
+            // candidate key starts for every internal quote preceded by '=',
+            // in descending order (largest junk prefix first)
+            val cands = (m + 2 until e).reverseIterator
+              .filter(q => isQuote(data.charAt(q)) && data.charAt(q - 1) == '=')
+              .flatMap(q => exposeStarts(m, q - 1))
+              .toSeq
+            if (sub < cands.length) {
+              pushTarget = cands(sub)
+              fchoice(top) = (4 << 10) | (sub + 1)
+              advanced = true
+            }
+          }
+          if (!advanced) fchoice(top) = 5 << 10
+        case 5 => // stop the attr loop: \s* (\/?) >
           if (m < n && data.charAt(m) == '/' && m + 1 < n && data.charAt(m + 1) == '>') {
             tail.end = m + 2; tail.self = true; tail.blobEnd = p
             return true

@@ -129,53 +129,90 @@ object Selector {
       if (cls.nonEmpty) { classes = cls.toList; i = k }
       else halted = true
     }
-    // ([...])+ — content may include whitespace, just not ']'
+    // ([...])+ — the part regex captures the whole bracket REGION (blocks of
+    // 1+ non-']' chars); the attr regex then runs over the region and may
+    // merge across block boundaries (its key class includes '[' and ']'),
+    // e.g. `[href][target=_blank]` compiles to ONE predicate with key
+    // `href][target` — a pinned reference quirk
+    val regionStart = i
     while (!halted && i < n && s.charAt(i) == '[') {
       val close = s.indexOf(']', i + 1)
-      if (close > i + 1) {
-        val pred = parseAttrBlock(s.substring(i + 1, close))
-        if (pred != null) attrs = attrs :+ pred
-        i = close + 1
-      } else halted = true
+      if (close > i + 1) i = close + 1
+      else halted = true
     }
+    if (i > regionStart)
+      attrs = parseAttributes(s.substring(regionStart, i))
     if (i == start) (null, start)
     else (SelectorPart(tag, id, classes, attrs), i)
   }
 
-  /** Parse the inside of one `[...]` block (reference parseAttributes regex,
-    * src/index.ts:694). Returns null when the block doesn't fit the grammar
-    * (such blocks contribute no predicate — quirk).
+  /** Reference parseAttributes regex over a whole bracket region
+    * (src/index.ts:694): `\[([^\s~|^$*!=]+)(?:\s*(op)\s*(?:["']?([^"'\]]*)["']?)?)?\]`
+    * global, with full backtracking — the greedy key class includes '[' and
+    * ']', so adjacent blocks can merge (pinned quirk). Backtracking order:
+    * for each key length (longest first), try the op-group present (value
+    * with optional quotes) then absent, then shrink the key; a position with
+    * no parse advances one char.
     */
-  private def parseAttrBlock(s: String): AttrPred = {
+  private[kernel] def parseAttributes(s: String): List[AttrPred] = {
     val n = s.length
-    var i = 0
-    while (i < n && isAttrKeyChar(s.charAt(i))) i += 1
-    if (i == 0) return null
-    val key = s.substring(0, i)
-    // bare existence: the regex requires `]` right after the key when no
-    // operator follows — even trailing whitespace makes the block unmatched
-    if (i == n) return AttrPred(key, "", "")
-    while (i < n && Js.isSpace(s.charAt(i))) i += 1
-    if (i == n) return null
-    // operator
-    val ops = Array("!=", "^=", "$=", "*=", "|=", "~=", "=")
-    var op: String = null
-    var oi = 0
-    while (op == null && oi < ops.length) {
-      if (s.startsWith(ops(oi), i)) op = ops(oi)
-      oi += 1
+    val out = ArrayBuffer.empty[AttrPred]
+    var pos = 0
+    while (pos < n) {
+      if (s.charAt(pos) != '[') pos += 1
+      else {
+        val keyStart = pos + 1
+        var kMax = keyStart
+        while (kMax < n && isAttrKeyChar(s.charAt(kMax))) kMax += 1
+        var matched = false
+        var e = kMax
+        while (!matched && e > keyStart) {
+          // variant A: op group present
+          var v = e
+          while (v < n && Js.isSpace(s.charAt(v))) v += 1
+          var op: String = null
+          if (v < n) {
+            val c = s.charAt(v)
+            if (c == '=') op = "="
+            else if (v + 1 < n && s.charAt(v + 1) == '=' &&
+                (c == '!' || c == '^' || c == '$' || c == '*' || c == '|' || c == '~'))
+              op = s.substring(v, v + 2)
+          }
+          if (op != null) {
+            var w = v + op.length
+            while (w < n && Js.isSpace(s.charAt(w))) w += 1
+            var x = w
+            if (x < n && (s.charAt(x) == '"' || s.charAt(x) == '\'')) x += 1
+            var y = x
+            while (y < n && s.charAt(y) != '"' && s.charAt(y) != '\'' &&
+              s.charAt(y) != ']') y += 1
+            var z = y
+            if (z < n && (s.charAt(z) == '"' || s.charAt(z) == '\'')) z += 1
+            if (z < n && s.charAt(z) == ']') {
+              out += AttrPred(s.substring(keyStart, e), op, s.substring(x, y))
+              pos = z + 1; matched = true
+            } else if (y < n && s.charAt(y) == ']') {
+              // trailing quote absent
+              out += AttrPred(s.substring(keyStart, e), op, s.substring(x, y))
+              pos = y + 1; matched = true
+            } else if (w < n && s.charAt(w) == ']') {
+              // value group absent
+              out += AttrPred(s.substring(keyStart, e), op, "")
+              pos = w + 1; matched = true
+            }
+          }
+          if (!matched) {
+            // variant B: group absent → ']' right after the key
+            if (e < n && s.charAt(e) == ']') {
+              out += AttrPred(s.substring(keyStart, e), "", "")
+              pos = e + 1; matched = true
+            } else e -= 1 // shrink the greedy key
+          }
+        }
+        if (!matched) pos += 1
+      }
     }
-    if (op == null) return null
-    i += op.length
-    while (i < n && Js.isSpace(s.charAt(i))) i += 1
-    // value: ["']? [^"'\]]* ["']?  — must reach end of block
-    if (i < n && (s.charAt(i) == '"' || s.charAt(i) == '\'')) i += 1
-    var j = i
-    while (j < n && s.charAt(j) != '"' && s.charAt(j) != '\'') j += 1
-    val value = s.substring(i, j)
-    if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) j += 1
-    if (j != n) return null // leftover chars → regex fails → no predicate
-    AttrPred(key, op, value)
+    out.toList
   }
 }
 

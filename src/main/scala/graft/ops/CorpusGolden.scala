@@ -25,8 +25,13 @@ object CorpusGolden {
     val dir = Paths.get("/root/reference/test/html")
     val files: Seq[(String, Array[Byte])] =
       if (!Files.isDirectory(dir)) Seq.empty
-      else Files.list(dir).iterator().asScala.toSeq.sortBy(_.getFileName.toString)
-        .map(p => p.getFileName.toString -> Files.readAllBytes(p))
+      else {
+        val stream = Files.list(dir)
+        try
+          stream.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
+            .map(p => p.getFileName.toString -> Files.readAllBytes(p))
+        finally stream.close()
+      }
     spark.createDataset(files).repartition(math.max(1, files.size))
       .map { case (name, bytes) =>
         val html = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)

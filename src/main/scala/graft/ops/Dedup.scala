@@ -66,7 +66,7 @@ object Dedup {
     val bandsUdf = udf { (text: String) =>
       if (text == null) Array.empty[Long]
       else {
-        val toks = text.split(' ').toSet
+        val toks = text.split("\\s+").toSet
         val sig = minhashSig(toks, numHashes)
         Array.tabulate(bands) { b =>
           var h = 0xcbf29ce484222325L
@@ -100,7 +100,7 @@ object Dedup {
       if (text == null) 0L
       else {
         val counts = new Array[Int](64)
-        text.split(' ').foreach { t =>
+        text.split("\\s+").foreach { t =>
           val h = fnv1a64(t)
           var bit = 0
           while (bit < 64) {
@@ -130,7 +130,7 @@ object Dedup {
     val shingleUdf = udf { (text: String) =>
       if (text == null) Array.empty[String]
       else {
-        val toks = text.split(' ')
+        val toks = text.split("\\s+")
         if (toks.length < n) Array(toks.mkString(" "))
         else Array.tabulate(toks.length - n + 1)(i => toks.slice(i, i + n).mkString(" ")).distinct
       }
@@ -142,7 +142,10 @@ object Dedup {
     val inter = pairs.join(a, Seq("id1")).join(b, Seq("id2"))
       .filter(col("sha") === col("shb"))
       .groupBy("id1", "id2").agg(count(lit(1)).as("inter"))
-    inter
+    // keep zero-intersection pairs (jaccard 0.0) — a dropped row would read
+    // as "not evaluated" rather than "dissimilar" downstream
+    pairs.join(inter, Seq("id1", "id2"), "left")
+      .na.fill(0L, Seq("inter"))
       .join(counts.toDF("id1", "n1"), "id1")
       .join(counts.toDF("id2", "n2"), "id2")
       .withColumn("jaccard",

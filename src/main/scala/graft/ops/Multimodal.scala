@@ -24,7 +24,8 @@ object Multimodal {
     * library call; everything around it (partition batching, schema, hex
     * digest) is production-shaped.
     */
-  private def decodeOne(docId: Long, payload: Array[Byte]): MediaMeta = {
+  private def decodeOne(docId: Long, payload0: Array[Byte]): MediaMeta = {
+    val payload = if (payload0 == null) Array.emptyByteArray else payload0
     val md = java.security.MessageDigest.getInstance("MD5")
     val hex = md.digest(payload).map(b => f"$b%02x").mkString
     val len = payload.length.toLong

@@ -30,7 +30,11 @@ object Similarity {
       nb += b(i) * b(i)
       i += 1
     }
-    dot / math.sqrt(na.toDouble * nb.toDouble)
+    // zero-norm vectors: define similarity 0 rather than NaN (NaN sorts
+    // ABOVE all doubles in Spark desc order, which would rank a zero vector
+    // as everyone's top neighbor)
+    if (na == 0f || nb == 0f) 0.0
+    else dot / math.sqrt(na.toDouble * nb.toDouble)
   }
 
   val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosineF(a, b) }

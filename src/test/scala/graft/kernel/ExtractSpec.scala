@@ -151,6 +151,16 @@ class ExtractSpec extends AnyFunSuite {
     assert(Entities.decode("&eacute;t&eacute") == "été")
   }
 
+  test("decode uses WHATWG longest-match legacy-prefix semantics") {
+    // cross-checked against Python html.unescape (spec-conformant)
+    assert(Entities.decode("&copyright;") == "©right;")
+    assert(Entities.decode("&ampx") == "&x")
+    assert(Entities.decode("&notin;") == "∉") // full name beats prefix
+    assert(Entities.decode("&notit;") == "¬it;")
+    assert(Entities.decode("&ltx;") == "<x;")
+    assert(Entities.decode("&euroX") == "&euroX") // euro is not legacy
+  }
+
   test("encode escapes only special chars") {
     assert(Entities.encodeSpecial("!$$&") == "!$$&amp;")
     assert(Entities.encodeSpecial("<a b='c'>\"") == "&lt;a b=&apos;c&apos;&gt;&quot;")

@@ -293,4 +293,17 @@ class QuerySpec extends AnyFunSuite {
     assert(root.children(0).children(0).attributes.get("data-test") == "/test.jpg")
     assert(root.children(0).children(1).attributes.get("style") == "background-image:url('test.jpg')")
   }
+
+  test("op-less attr blocks merge with following blocks (pinned quirk)") {
+    // the reference's attr regex key class includes '[' and ']', so
+    // [href][target=_blank] compiles to ONE predicate keyed 'href][target'
+    // (verified against the reference regex in node) — it matches nothing
+    val root = parse("""<a href="x" target="_blank">L</a>""")
+    assert(root.querySelector("""a[href][target=_blank]""").isEmpty)
+    assert(root.querySelector("""a[href][target="_blank"]""").isEmpty)
+    // with an op in the first block the key is cut at '=' and blocks split
+    assert(root.querySelector("""a[href="x"][target="_blank"]""").isDefined)
+    // a single op-less block is fine
+    assert(root.querySelector("a[href]").isDefined)
+  }
 }

@@ -22,14 +22,17 @@ TEXTS = ["hello world", "a  b   c", " leading", "trailing ", "x&amp;y",
          "&nbsp;", "&eacute;t&eacute", "&#65;&#x42;", "&bogus;", "tom & jerry",
          "a < b > c", "5 > 3", "emoji \U0001F600 text", "ümlaut König",
          "line\nbreak", "tab\there", "", " ", "&#0;&#128;", "&lt;tag&gt;",
-         "très tôt déjà", "日本語テキスト", "&quot;quoted&quot;"]
+         "très tôt déjà", "日本語テキスト", "&quot;quoted&quot;",
+         "&copyright; x", "&ampx &notit;", "&ltx; &gtq", "&nbspz"]
 ATTRS = ['id="x{i}"', "id='y{i}'", "id=z{i}", 'class="c{i} d{i}"', "class=''",
          'class=""', "href=\"https://ex.com/{i}\"", "href=/rel/{i}",
          "data-x='{i}'", "title=\"has space {i}\"", "attr='>'", "attr='/>'",
          "style=\"color:red; background:url('a.jpg')\"", "disabled",
          "value=\"\"", "a=1/2", "b=c/", '";=""', "\"random text\"", "'='",
          "xmlns:x=\"urn:{i}\"", "data-json='{{\"k\":{i}}}'", "ID=up{i}",
-         'lang="en-US"', "novalue=", "weird..attr=1", "_bad=2"]
+         'lang="en-US"', "novalue=", "weird..attr=1", "_bad=2",
+         'p=ab="x<y"', '~x="p<q"', 'novalue= href="https://e.c/{i}"',
+         'a=b="c/d"', 'k= l= m="v>w"']
 
 
 def attrs(i):
@@ -108,7 +111,9 @@ frags_id = ["#x1", "#y-2", "#", "#!", ""]
 frags_cls = [".c2", ".c2.d3", ".", ".-x", ".c2.", ""]
 frags_attr = ["[href]", "[class~=\"d3\"]", "[href^='https://']", "[a=b]",
               "[a='b c']", "[x!=y]", "[t$=\".com\"]", "[u*=co]", "[lang|=en]",
-              "[a=]", "[=b]", "[ a ]", "[a ]", "[]", "[a='b]", "[a=\"b\"c]", ""]
+              "[a=]", "[=b]", "[ a ]", "[a ]", "[]", "[a='b]", "[a=\"b\"c]",
+              "[href][target=_blank]", "[a][b]", "[x][y^='h']",
+              "[a=1][b]", "[id][class~=c2]", ""]
 def comma_part_safe(p):
     """The REFERENCE hangs (zero-length regex match infinite loop) when a
     comma-part's position 0 parses to nothing (e.g. "9bad", "[]", "#!",
