@@ -228,8 +228,11 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
             blocks += currentBlock
           }
         case e: Element =>
+          // kBlockElements is a JS object literal in the reference, so
+          // Object.prototype member names are truthy here too
           val isBlk = e.tagName.nonEmpty &&
-            Element.structuredTextBlocks.contains(e.tagName)
+            (Element.structuredTextBlocks.contains(e.tagName) ||
+              Js.protoKeys.contains(e.tagName))
           if (isBlk) {
             if (currentBlock.parts.nonEmpty) {
               currentBlock = new Block

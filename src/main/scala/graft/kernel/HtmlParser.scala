@@ -61,6 +61,21 @@ object HtmlParser {
   private val blockTextElements: Set[String] =
     Set("script", "noscript", "style", "pre")
 
+  /** The reference's lookup tables are plain JS object literals, so tag
+    * names that collide with Object.prototype members are TRUTHY in every
+    * `table[tag]` check (and in `options[tag]`!). Node-verified:
+    * `<toString>x</toString>` keeps its raw text (options.toString is the
+    * inherited function), is treated as void (stray-closer ignored) yet
+    * never popped → stays open; `<li><toString>` implicit-closes the li.
+    * Only names matching the tag grammar (start with a letter) can occur.
+    */
+  private def jsProtoKeys: Set[String] = Js.protoKeys
+
+  // approximate truthy props when the IMPLICIT-CLOSE parent is itself a
+  // proto key (the table value is then an inherited Function object)
+  private val jsFunctionProtoKeys: Set[String] =
+    jsProtoKeys ++ Set("call", "apply", "bind", "name")
+
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
@@ -327,12 +342,15 @@ object HtmlParser {
           if (!closing) {
             // implicit close by opening (skipped for explicit self-close)
             if (!t.self) {
-              closedByOpening.get(currentParent.tagName) match {
-                case Some(set) if set.contains(tag) =>
-                  stack.remove(stack.length - 1)
-                  currentParent =
-                    if (stack.nonEmpty) stack.last else root
-                case _ =>
+              val closes = closedByOpening.get(currentParent.tagName) match {
+                case Some(set) => set.contains(tag) || jsProtoKeys.contains(tag)
+                case None =>
+                  jsProtoKeys.contains(currentParent.tagName) &&
+                    jsFunctionProtoKeys.contains(tag)
+              }
+              if (closes) {
+                stack.remove(stack.length - 1)
+                currentParent = if (stack.nonEmpty) stack.last else root
               }
             }
             val el = new Element(tag, Js.trim(t.attrBlob))
@@ -340,7 +358,7 @@ object HtmlParser {
             currentParent = el
             stack += el
 
-            if (blockTextElements.contains(tag)) {
+            if (blockTextElements.contains(tag) || jsProtoKeys.contains(tag)) {
               // raw-text fast path: jump to the literal close tag
               val closeMarkup = "</" + tag + ">"
               val idx = data.indexOf(closeMarkup, t.end)
@@ -348,6 +366,8 @@ object HtmlParser {
                 case "script" => options.script
                 case "style" => options.style
                 case "pre" => options.pre
+                // options[tag] is proto-polluted too: {}.toString is truthy
+                case t2 if jsProtoKeys.contains(t2) => true
                 case _ => false // no noscript option in the reference
               }
               if (keep) {
@@ -370,9 +390,10 @@ object HtmlParser {
 
           // self-closing / explicit closing / void handling
           val closingTag = tag
-          if (closing || t.self || voidElements.contains(closingTag)) {
+          val isVoidTag = voidElements.contains(closingTag) ||
+            jsProtoKeys.contains(closingTag)
+          if (closing || t.self || isVoidTag) {
             val isClosingTag = closing
-            val isVoidTag = voidElements.contains(closingTag)
             if (!(isClosingTag && isVoidTag)) { // stray </br> etc. ignored
               var loop = true
               while (loop) {

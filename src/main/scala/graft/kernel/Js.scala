@@ -10,6 +10,15 @@ package graft.kernel
   */
 object Js {
 
+  /** Tag names that collide with Object.prototype members are TRUTHY in
+    * every `jsObjectLiteral[tag]` lookup in the reference (and in
+    * `options[tag]`). Only names that fit the tag grammar (first char a
+    * letter) are listed. Node-verified behavior — see HtmlParser/Dom usage.
+    */
+  val protoKeys: Set[String] = Set(
+    "constructor", "toString", "toLocaleString", "valueOf", "hasOwnProperty",
+    "isPrototypeOf", "propertyIsEnumerable")
+
   /** JS RegExp `\s` / `String.trim` whitespace set (ECMA-262 WhiteSpace ∪
     * LineTerminator): TAB VT FF SP NBSP ZWNBSP + Unicode Zs + LF CR LS PS.
     */

@@ -349,4 +349,21 @@ class ParseSpec extends AnyFunSuite {
     assert(r.valid)
     assert(r.toHtml == "<div><span>x</span></div>y")
   }
+
+  test("prototype-named tags replicate the reference's JS object-literal quirks") {
+    // node-verified against the reference engine: options[tag],
+    // kBlockTextElements[tag], kSelfClosingElements[tag] are all truthy for
+    // Object.prototype member names, producing this exact behavior
+    val r = parse("<toString>x</toString><p>y</p>")
+    assert(!r.valid)
+    assert(r.toHtml == "<toString>x<p>y</p></toString>")
+    val r2 = parse("<li><toString>a</toString></li>")
+    assert(r2.toHtml == "<li></li><toString>a</toString>")
+    // '__proto__' cannot even be a tag (names must start with a letter)
+    val r3 = parse("<__proto__>x</__proto__><p>y</p>")
+    assert(r3.valid)
+    assert(r3.toHtml == "<__proto__>x</__proto__><p>y</p>")
+    // lowercase variants are plain elements
+    assert(parse("<tostring>x</tostring>").toHtml == "<tostring>x</tostring>")
+  }
 }

@@ -15,7 +15,8 @@ rng = random.Random(seed)
 TAGS = ["div", "p", "span", "a", "li", "ul", "ol", "td", "tr", "th", "table",
         "b", "i", "h1", "h2", "h3", "section", "article", "aside", "nav",
         "form", "header", "footer", "main", "colgroup", "thead", "tbody",
-        "my-widget", "ns:tag", "DIV", "P", "Span"]
+        "my-widget", "ns:tag", "DIV", "P", "Span",
+        "toString", "valueOf", "constructor", "hasOwnProperty"]
 VOID = ["br", "img", "input", "meta", "link", "hr", "col", "source", "base", "area"]
 RAW = ["script", "style", "pre", "noscript"]
 TEXTS = ["hello world", "a  b   c", " leading", "trailing ", "x&amp;y",
