@@ -2,6 +2,7 @@ package graft
 
 import graft.kernel._
 import java.nio.file.{Files, Paths}
+import scala.collection.mutable.ArrayBuffer
 import scala.jdk.CollectionConverters._
 
 /** Kernel-side differential-test runner: emits the same md5-fingerprint
@@ -9,6 +10,11 @@ import scala.jdk.CollectionConverters._
   * engine), so tools/diff_check.py can compare every observable output —
   * validity, serialization, extraction, structure, JSON shape, selector
   * results, mutation paths, attribute maps — over the fuzz corpus.
+  *
+  * Records are field lists serialized at the end: an exception anywhere
+  * mid-computation still yields a VALID JSON record carrying "error"
+  * (matching ref_runner.js), so one kernel throw reports as
+  * "kernel-error-only" instead of corrupting the whole output file.
   *
   *   runMain graft.DiffRunner <inputDir> <out.json>
   */
@@ -48,39 +54,34 @@ object DiffRunner {
 
   def recordsFor(file: String, data: String): Seq[String] =
     optionSets.map { case (oname, opts) =>
-      val sb = new java.lang.StringBuilder
-      sb.append('{').append(q("file")).append(':').append(q(file))
-        .append(',').append(q("opts")).append(':').append(q(oname))
+      // fields collected first, serialized once at the end — an exception
+      // mid-computation must still yield a VALID JSON record (with "error"),
+      // matching ref_runner.js; otherwise one kernel throw corrupts the file
+      val fields = ArrayBuffer[(String, String)](
+        "file" -> q(file), "opts" -> q(oname))
       try {
         val root = HtmlParser.parse(data, opts)
-        sb.append(',').append(q("valid")).append(':').append(root.valid)
-        sb.append(',').append(q("outer")).append(':').append(q(md5(root.toHtml)))
-        sb.append(',').append(q("structured")).append(':').append(q(md5(root.structuredText)))
-        sb.append(',').append(q("text")).append(':').append(q(md5(root.text)))
-        sb.append(',').append(q("rawText")).append(':').append(q(md5(root.rawText)))
-        sb.append(',').append(q("structure")).append(':').append(q(md5(root.structure)))
-        sb.append(',').append(q("json")).append(':').append(q(md5(root.toJsonString)))
-        sb.append(',').append(q("sel")).append(":{")
-        var firstSel = true
-        allSelectors.foreach { s =>
-          if (!firstSel) sb.append(',')
-          firstSel = false
+        fields += ("valid" -> root.valid.toString)
+        fields += ("outer" -> q(md5(root.toHtml)))
+        fields += ("structured" -> q(md5(root.structuredText)))
+        fields += ("text" -> q(md5(root.text)))
+        fields += ("rawText" -> q(md5(root.rawText)))
+        fields += ("structure" -> q(md5(root.structure)))
+        fields += ("json" -> q(md5(root.toJsonString)))
+        val sel = allSelectors.map { s =>
           val all = root.querySelectorAll(s)
           val first = root.querySelector(s)
-          sb.append(q(s)).append(":[").append(all.length).append(',')
-            .append(q(md5(all.map(_.toHtml).mkString(" ")))).append(',')
-            .append(first.map(e => q(md5(e.toHtml))).getOrElse(q("null")))
-            .append(']')
-        }
-        sb.append('}')
+          q(s) + ":[" + all.length + "," + q(md5(all.map(_.toHtml).mkString(" "))) +
+            "," + first.map(e => q(md5(e.toHtml))).getOrElse(q("null")) + "]"
+        }.mkString("{", ",", "}")
+        fields += ("sel" -> sel)
         val r2 = HtmlParser.parse(data, opts)
         r2.removeWhitespace()
-        sb.append(',').append(q("removeWs")).append(':').append(q(md5(r2.toHtml)))
+        fields += ("removeWs" -> q(md5(r2.toHtml)))
         root.childNodes.collectFirst { case e: Element => e }.foreach { el =>
-          sb.append(',').append(q("attrs")).append(':').append(q(md5(attrsJson(el.attributes))))
-          sb.append(',').append(q("rawAttrs")).append(':').append(q(md5(attrsJson(el.rawAttributes))))
-          sb.append(',').append(q("idClass")).append(':')
-            .append(q(md5(el.id + " " + el.classNames.mkString(","))))
+          fields += ("attrs" -> q(md5(attrsJson(el.attributes))))
+          fields += ("rawAttrs" -> q(md5(attrsJson(el.rawAttributes))))
+          fields += ("idClass" -> q(md5(el.id + " " + el.classNames.mkString(","))))
         }
         // mutation chain on a fresh parse (mirrors ref_runner.js)
         val r3 = HtmlParser.parse(data, opts)
@@ -89,21 +90,21 @@ object DiffRunner {
           el3.setAttribute("id", "mut-id")
           el3.setAttribute("bare", "")
           el3.removeAttribute("class")
-          sb.append(',').append(q("mutAttr")).append(':')
-            .append(q(md5(r3.toHtml + "|" + el3.id + "|" + el3.classNames.mkString(","))))
+          fields += ("mutAttr" ->
+            q(md5(r3.toHtml + "|" + el3.id + "|" + el3.classNames.mkString(","))))
           el3.innerHTML = "<p class=\"q\">rep &amp; laced</p>"
-          sb.append(',').append(q("mutInner")).append(':').append(q(md5(r3.toHtml)))
+          fields += ("mutInner" -> q(md5(r3.toHtml)))
           el3.setContent("plain text only")
-          sb.append(',').append(q("mutContent")).append(':').append(q(md5(r3.toHtml)))
+          fields += ("mutContent" -> q(md5(r3.toHtml)))
         }
         val r4 = HtmlParser.parse(data, opts)
         r4.trimRight("[aeiou]".r)
-        sb.append(',').append(q("mutTrim")).append(':').append(q(md5(r4.toHtml)))
+        fields += ("mutTrim" -> q(md5(r4.toHtml)))
       } catch {
         case e: Throwable =>
-          sb.append(',').append(q("error")).append(':').append(q(e.toString.take(200)))
+          fields += ("error" -> q(e.toString.take(200)))
       }
-      sb.append('}').toString
+      fields.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
     }
 
   @volatile private var extraSelectors: Seq[String] = Seq.empty
@@ -115,9 +116,12 @@ object DiffRunner {
     val selFile = dir.resolve("selectors.txt")
     if (Files.exists(selFile))
       extraSelectors = Files.readString(selFile).split('\n').toSeq.filter(_.nonEmpty)
-    val files = Files.list(dir).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".html"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val stream = Files.list(dir)
+    val files =
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".html"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally stream.close()
     val records = files.flatMap { p =>
       val data = new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8)
       recordsFor(p.getFileName.toString, data)

@@ -10,8 +10,9 @@ import graft.functions.HtmlFunctions
   *
   * Every entry in `queries` is matched by an `oracleSql` DuckDB statement
   * over the same parquet tables, except the explicitly non-SQL-expressible
-  * kernel ops (minhash/simhash/LSH/corpus goldens) which get the weaker
-  * rows-only check and are instead pinned by ScalaTest.
+  * ops (minhash q15, simhash q16, LSH q18, corpus goldens q26, language-ID
+  * q27, winnowing q33) which get the weaker rows-only check and are instead
+  * pinned by ScalaTest.
   *
   * HTML queries synthesize the page body deterministically from `documents`
   * with pure SQL expressions (graft.pipeline.Synth), so DuckDB can compute
@@ -280,10 +281,10 @@ object SparkEntry {
           "r AS (SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rnk FROM s) " +
           "SELECT qid AS query_id, cast(rnk AS int) AS rank, nid AS neighbor_id FROM r WHERE rnk <= 3"),
       "q19_binary_meta" ->
-        ("SELECT doc_id, length(text) AS byte_len, md5(text) AS fp, " +
-          "cast(length(text) % 640 + 1 AS int) AS fake_width, " +
-          "cast(length(text) % 360 + 1 AS int) AS fake_height, " +
-          "cast(length(text) % 30 + 1 AS int) AS fake_frames FROM documents"),
+        ("SELECT doc_id, octet_length(cast(text AS blob)) AS byte_len, md5(text) AS fp, " +
+          "cast(octet_length(cast(text AS blob)) % 640 + 1 AS int) AS fake_width, " +
+          "cast(octet_length(cast(text AS blob)) % 360 + 1 AS int) AS fake_height, " +
+          "cast(octet_length(cast(text AS blob)) % 30 + 1 AS int) AS fake_frames FROM documents"),
       "q20_resume_antijoin" ->
         "SELECT doc_id, lang FROM documents WHERE doc_id % 10 >= 3",
       "q21_metrics_agg" ->
@@ -312,7 +313,7 @@ object SparkEntry {
           "WHERE a.vec_id < 64 AND b.vec_id < 64 AND a.vec_id < b.vec_id " +
           "AND round(cast(list_cosine_similarity(a.embedding, b.embedding) AS double), 4) >= 0.2"),
       "q29_frame_sample" ->
-        ("WITH f AS (SELECT doc_id, greatest(1, (length(text) * 40) // 1024) AS nf FROM documents) " +
+        ("WITH f AS (SELECT doc_id, greatest(1, (octet_length(cast(text AS blob)) * 40) // 1024) AS nf FROM documents) " +
           "SELECT doc_id, cast(unnest(range(0, nf, 3)) AS int) AS frame_idx FROM f"),
       "q30_quality" ->
         ("SELECT doc_id, length(text) AS q_chars, " +

@@ -21,8 +21,11 @@ object GraftExtensions {
   private[functions] val htmlUnescapeDescriptor = (
     FunctionIdentifier("html_unescape_native"),
     new ExpressionInfo(classOf[HtmlUnescape].getCanonicalName, "html_unescape_native"),
-    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-      HtmlUnescape(children.head))
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 1,
+        s"html_unescape_native expects exactly 1 argument, got ${children.length}")
+      HtmlUnescape(children.head)
+    })
 
   /** Runtime registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

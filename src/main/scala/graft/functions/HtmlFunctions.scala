@@ -19,20 +19,19 @@ import graft.kernel._
 object HtmlFunctions extends Serializable {
 
   @transient private lazy val selectorCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[SelectorPart]]()
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[SelectorPart]]]()
 
-  private def compiled(sel: String): Array[SelectorPart] = {
+  /** Compile a comma-union selector once per executor (the analog of the
+    * reference compiling a Matcher once per query) — without this every UDF
+    * row would recompile its selector string.
+    */
+  private def compiled(sel: String): Array[Array[SelectorPart]] = {
     var p = selectorCache.get(sel)
     if (p == null) {
-      p = Selector.compile(sel)
+      p = Query.compileUnion(sel)
       selectorCache.putIfAbsent(sel, p)
     }
     p
-  }
-
-  private def selectAll(root: Element, selector: String): Seq[Element] = {
-    // comma-union with identity dedup, same as kernel querySelectorAll
-    Query.querySelectorAll(root, selector).toSeq
   }
 
   // ---- scalar kernel ops ----
@@ -50,20 +49,21 @@ object HtmlFunctions extends Serializable {
   }
 
   val cssCount = udf { (html: String, selector: String) =>
-    if (html == null) 0 else selectAll(HtmlParser.parse(html), selector).length
+    if (html == null) 0
+    else Query.querySelectorAll(HtmlParser.parse(html), compiled(selector)).length
   }
 
   /** querySelector (first match, comma parts left-to-right) decoded text. */
   val cssFirstText = udf { (html: String, selector: String) =>
     if (html == null) null
-    else HtmlParser.parse(html).querySelector(selector).map(_.text).orNull
+    else Query.querySelector(HtmlParser.parse(html), compiled(selector)).map(_.text).orNull
   }
 
   /** Attribute of the first match, decoded. */
   val cssFirstAttr = udf { (html: String, selector: String, attr: String) =>
     if (html == null) null
     else
-      HtmlParser.parse(html).querySelector(selector)
+      Query.querySelector(HtmlParser.parse(html), compiled(selector))
         .flatMap(e => Option(e.attributes.get(attr))).orNull
   }
 

@@ -243,18 +243,43 @@ final class Matcher private (val parts: Array[SelectorPart], private var nextMat
   */
 object Query {
 
-  def querySelectorAll(root: Element, selector: String): ArrayBuffer[Element] = {
-    val parts = selector.split(',').iterator
-      .filter(p => Js.trim(p).nonEmpty).map(Js.trim).toArray
+  /** Comma-union selector compiled once (one parts-array per comma part) —
+    * the cacheable form for repeated execution over many documents.
+    */
+  def compileUnion(selector: String): Array[Array[SelectorPart]] =
+    selector.split(',').iterator
+      .filter(p => Js.trim(p).nonEmpty).map(p => Selector.compile(Js.trim(p)))
+      .toArray
+
+  def querySelectorAll(root: Element, selector: String): ArrayBuffer[Element] =
+    querySelectorAll(root, compileUnion(selector))
+
+  /** Union over pre-compiled comma parts, insertion-ordered identity dedup
+    * (reference Set semantics, src/index.ts:408).
+    */
+  def querySelectorAll(root: Element, union: Array[Array[SelectorPart]]): ArrayBuffer[Element] = {
     val out = ArrayBuffer.empty[Element]
     val seen = java.util.Collections.newSetFromMap(
       new java.util.IdentityHashMap[Element, java.lang.Boolean])
-    parts.foreach { part =>
+    union.foreach { parts =>
       val res = ArrayBuffer.empty[Element]
-      exploreAll(root, Selector.compile(part), 0, res)
+      exploreAll(root, parts, 0, res)
       res.foreach { el => if (seen.add(el)) out += el }
     }
     out
+  }
+
+  /** First match over pre-compiled comma parts (part order beats document
+    * order, src/index.ts:469–475).
+    */
+  def querySelector(root: Element, union: Array[Array[SelectorPart]]): Option[Element] = {
+    var i = 0
+    while (i < union.length) {
+      val r = exploreOne(root, union(i), 0)
+      if (r != null) return Some(r)
+      i += 1
+    }
+    None
   }
 
   def querySelectorAll(root: Element, matcher: Matcher): ArrayBuffer[Element] = {
@@ -264,17 +289,8 @@ object Query {
     res
   }
 
-  def querySelector(root: Element, selector: String): Option[Element] = {
-    val parts = selector.split(',').iterator
-      .map(Js.trim).filter(_.nonEmpty).toArray
-    var i = 0
-    while (i < parts.length) {
-      val r = exploreOne(root, Selector.compile(parts(i)), 0)
-      if (r != null) return Some(r)
-      i += 1
-    }
-    None
-  }
+  def querySelector(root: Element, selector: String): Option[Element] =
+    querySelector(root, compileUnion(selector))
 
   def querySelector(root: Element, matcher: Matcher): Option[Element] = {
     matcher.reset()

@@ -57,8 +57,15 @@ object ExtractJob {
     val pruned = pages.select("url", "warc_ts", "html", "lang")
     val routed =
       if (saltPartitions > 0) {
-        // salt = hash(url) buckets: spreads a hot host across partitions
-        pruned.repartition(saltPartitions, pmod(hash(col("url")), lit(saltPartitions * 4)))
+        // canonical salted-host repartition: the key is (host, salt) so a
+        // hot host fans out over at most 16 partitions (bounded skew) while
+        // other hosts keep locality. Partitioning on a single pre-hashed
+        // pmod column would collapse the key space and can RE-concentrate
+        // it when repartition hashes the few salt values again.
+        pruned
+          .withColumn("__host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+          .repartition(saltPartitions, col("__host"), pmod(hash(col("url")), lit(16)))
+          .drop("__host")
       } else pruned
     routed
       .as[(String, java.sql.Timestamp, Array[Byte], String)]

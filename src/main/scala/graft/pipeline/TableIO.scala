@@ -24,12 +24,21 @@ object TableIO {
 
   private def manifestDir(table: String): Path = Paths.get(table, "_manifests")
 
+  /** List a directory, closing the underlying stream (Files.list leaks a
+    * directory fd otherwise).
+    */
+  private def listDir(dir: Path): Seq[Path] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala.toSeq
+    finally stream.close()
+  }
+
   /** Buckets already committed (the resume set). */
   def committedBuckets(table: String): Set[Long] = {
     val dir = manifestDir(table)
     if (!Files.isDirectory(dir)) Set.empty
     else
-      Files.list(dir).iterator().asScala
+      listDir(dir)
         .map(_.getFileName.toString)
         .filter(_.endsWith(".json"))
         .map(_.stripSuffix(".json").stripPrefix("bucket-").toLong)
@@ -119,11 +128,11 @@ object TableIO {
     val bucketDirs =
       if (!Files.isDirectory(dir)) Seq.empty[String]
       else
-        Files.list(dir).iterator().asScala
+        listDir(dir)
           .filter(p => p.getFileName.toString.startsWith("bucket="))
           .filter(p => Files.isDirectory(p) &&
-            Files.list(p).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet")))
-          .map(_.toString).toSeq
+            listDir(p).exists(_.getFileName.toString.endsWith(".parquet")))
+          .map(_.toString)
     if (bucketDirs.isEmpty) spark.emptyDataset[BucketMetrics].toDF()
     else spark.read.parquet(bucketDirs: _*) // bucket is a data column
   }
@@ -134,12 +143,19 @@ object TableIO {
   def nextAttempt(spark: SparkSession, table: String, bucket: Long): Int = {
     val d = Paths.get(table, "_metrics", s"bucket=$bucket")
     val hasData = Files.isDirectory(d) &&
-      Files.list(d).iterator().asScala.exists(_.getFileName.toString.endsWith(".parquet"))
+      listDir(d).exists(_.getFileName.toString.endsWith(".parquet"))
     if (!hasData) 1
     else
       try {
-        spark.read.parquet(d.toString)
-          .agg(max("attempt")).collect().head.getInt(0) + 1
-      } catch { case _: Throwable => 1 }
+        val row = spark.read.parquet(d.toString).agg(max("attempt")).collect().head
+        if (row.isNullAt(0)) 1 else row.getInt(0) + 1
+      } catch {
+        case e: Throwable =>
+          // a partial/corrupt prior metrics file must not silently reset the
+          // retry counter to 1 — log and mark the attempt as unknown-retry
+          System.err.println(
+            s"[tableio] WARN: unreadable metrics for bucket=$bucket (${e.getMessage}); recording attempt=2")
+          2
+      }
   }
 }
