@@ -17,6 +17,10 @@ object PlanAudit {
     println("==== extraction pipeline (expect: single scan, ReadSchema pruned to needed cols, no shuffle)")
     graft.pipeline.ExtractJob.run(graft.pipeline.Synth.pages(spark, sfDir)).explain("formatted")
 
+    println("==== salted extraction (expect exactly ONE Exchange on (host, salt))")
+    graft.pipeline.ExtractJob.run(graft.pipeline.Synth.pages(spark, sfDir),
+      saltPartitions = 8).explain("formatted")
+
     println("==== doc scan with lang filter (expect PushedFilters at the parquet scan)")
     spark.read.parquet(s"$sfDir/documents.parquet")
       .filter(col("lang") === "en").select("doc_id", "n_chars").explain("formatted")

@@ -181,6 +181,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(meta.getAs[Int]("fake_width") == 6)
   }
 
+  test("pure-SQL surface: registered kernel functions work from spark.sql") {
+    graft.functions.HtmlFunctions.register(spark)
+    graft.functions.GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT html_valid('<p>x</p>') AS v,
+        |       html_text('<span>o<p>a</p>b</span>') AS t,
+        |       css_count('<ul><li class="a">1</li><li class="a">2</li></ul>', 'li.a') AS n,
+        |       css_first_attr('<a href="https://x">L</a>', 'a', 'href') AS h,
+        |       html_unescape_native('&lt;&ampx&copyright;') AS u
+        |""".stripMargin).collect().head
+    assert(r.getBoolean(0))
+    assert(r.getString(1) == "o\na\nb")
+    assert(r.getInt(2) == 2)
+    assert(r.getString(3) == "https://x")
+    assert(r.getString(4) == "<&x©right;")
+  }
+
   test("synth pages are deterministic and correctly shaped") {
     val p1 = Synth.pages(spark, "/root/testdata/sf0.001")
     val p2 = Synth.pages(spark, "/root/testdata/sf0.001")
