@@ -82,6 +82,20 @@ object SparkEntry {
           concat(lit("<div> <p> "), col("text"), lit(" </p> </div>")),
           lit("data-n"), col("doc_id").cast("string")).as("mutated"))),
 
+    "q09_node_explode" -> ((s, dir) => {
+      // relational selector surface: exploded element table + pure Catalyst
+      // predicates (no HTML parsing downstream of the explode)
+      val nodes = ExtractJob.explodeNodes(pagesDf(s, dir)).toDF()
+      val perUrl = nodes.groupBy("url").agg(
+        sum(when(col("tag") === "li" && array_contains(col("classes"), "item"), 1L)
+          .otherwise(0L)).as("n_li_rel"),
+        sum(when(col("attrs").getItem("lang") === "en", 1L).otherwise(0L))
+          .as("n_lang_en_rel"),
+        count(lit(1)).as("n_elements"))
+      perUrl.join(pagesDf(s, dir).select("url", "doc_id"), "url")
+        .select("doc_id", "n_li_rel", "n_lang_en_rel", "n_elements")
+    }),
+
     // ---- text analysis / training-data ops ----
     "q10_tokens_quality" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -254,6 +268,13 @@ object SparkEntry {
         "SELECT doc_id, concat('B-', doc_id) AS hit FROM documents",
       "q08_mutate" ->
         ("SELECT doc_id, concat('<div data-n=\"', doc_id, '\"><p>', trim(text), '</p></div>') AS mutated " +
+          "FROM documents"),
+      "q09_node_explode" ->
+        ("SELECT doc_id, " +
+          s"cast($nLi AS bigint) AS n_li_rel, " +
+          "cast(CASE WHEN doc_id % 7 = 0 OR lang <> 'en' THEN 0 ELSE 1 END AS bigint) AS n_lang_en_rel, " +
+          // elements: div + p + n li + ul + a for valid docs; div only for malformed
+          s"cast(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE cast(doc_id % 5 + 1 AS int) + 4 END AS bigint) AS n_elements " +
           "FROM documents"),
       "q10_tokens_quality" ->
         ("SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, " +

@@ -74,6 +74,57 @@ object ExtractJob {
       }
   }
 
+  /** One row per ELEMENT node, in document order (SURVEY.md §1.4): the
+    * relational surface for selector queries — single-part selectors become
+    * Catalyst predicates over (tag, id, classes, attrs) with pushdown and
+    * pruning for free, no per-row HTML parsing downstream of this table.
+    */
+  final case class NodeRow(
+      url: String,
+      node_idx: Int,
+      tag: String,
+      id: String,
+      classes: Seq[String],
+      attrs: Map[String, String])
+
+  def explodeNodes(pages: DataFrame): Dataset[NodeRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select("url", "html")
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (url, html) =>
+          val root = HtmlParser.parse(
+            new String(html, java.nio.charset.StandardCharsets.UTF_8))
+          val out = scala.collection.mutable.ArrayBuffer.empty[NodeRow]
+          val stack = new scala.collection.mutable.ArrayBuffer[DomNode](32)
+          var i = root.childNodes.length - 1
+          while (i >= 0) { stack += root.childNodes(i); i -= 1 }
+          var idx = 0
+          while (stack.nonEmpty) {
+            stack.remove(stack.length - 1) match {
+              case e: Element =>
+                val attrs = {
+                  val b = Map.newBuilder[String, String]
+                  val it2 = e.attributes.entrySet().iterator()
+                  while (it2.hasNext) {
+                    val kv = it2.next()
+                    b += (kv.getKey -> kv.getValue)
+                  }
+                  b.result()
+                }
+                out += NodeRow(url, idx, e.tagName, e.id, e.classNames.toSeq, attrs)
+                idx += 1
+                var j = e.childNodes.length - 1
+                while (j >= 0) { stack += e.childNodes(j); j -= 1 }
+              case _ =>
+            }
+          }
+          out
+        }
+      }
+  }
+
   /** Shared metric aggregate columns — single definition so the per-lang
     * metrics and the per-bucket lineage table can never diverge.
     */
