@@ -11,86 +11,52 @@ package graft.kernel
   *     resolve only if they are in the HTML legacy (no-semicolon) set
   *   - numeric references: decimal/hex, trailing `;` optional; code points in
   *     the windows-1252 C1 range are remapped (html-entities
-  *     numeric-unicode-map); > 0x10FFFF yields U+FFFD
+  *     numeric-unicode-map); >= 0x10FFFF yields U+FFFD (html-entities uses
+  *     `decodeCode >= 0x10ffff ? outOfBoundsChar : ...`, so U+10FFFF itself
+  *     is out of bounds); surrogate code points pass through as lone
+  *     surrogates (String.fromCharCode semantics) — unlike WHATWG/Python
+  *     html.unescape, which substitutes U+FFFD
   *   - unknown candidates are left verbatim
   *
-  * Table scope: we vendor the HTML4/Latin-1/symbol/Greek set + `&apos;` +
-  * `&euro;` + uppercase legacy aliases — every name the reference's test
-  * corpus uses and ~all of real-world usage. Unknown (exotic HTML5
-  * multi-codepoint) names pass through unchanged, which is also what
-  * html-entities does for names absent from its table.
+  * Table scope: the FULL WHATWG set — 2,125 semicolon'd names (incl.
+  * multi-codepoint entities like `&NotEqualTilde;` → U+2242 U+0338) plus the
+  * 106-name legacy no-semicolon subset, generated into EntityData.scala by
+  * tools/gen_entity_table.py from Python stdlib `html.entities.html5` (the
+  * same WHATWG entities.json table html-entities@2.3.2 ships). Coverage is
+  * differentially pinned against Python `html.unescape` by EntitiesHtml5Spec
+  * over every name (fixture from tools/gen_entity_fixture.py) — a check
+  * independent of both this file and the diff-harness shim.
+  *
+  * Longest-match note: html-entities resolves no-semicolon legacy prefixes
+  * via an ordered regex alternation; we use longest-first prefix search.
+  * These are equivalent because no legacy name is a proper prefix of another
+  * legacy name (verified at generation time).
   *
   * encode == html-entities `encode(s)` defaults (mode "specialChars"):
   * only `& < > " '` are escaped, to their named forms.
   */
 object Entities {
 
-  // "name codepoint" pairs; names here resolve when written with a trailing ';'.
-  private val namedTable: String =
-    "quot 34 amp 38 apos 39 lt 60 gt 62 " +
-      "nbsp 160 iexcl 161 cent 162 pound 163 curren 164 yen 165 brvbar 166 sect 167 " +
-      "uml 168 copy 169 ordf 170 laquo 171 not 172 shy 173 reg 174 macr 175 deg 176 " +
-      "plusmn 177 sup2 178 sup3 179 acute 180 micro 181 para 182 middot 183 cedil 184 " +
-      "sup1 185 ordm 186 raquo 187 frac14 188 frac12 189 frac34 190 iquest 191 " +
-      "Agrave 192 Aacute 193 Acirc 194 Atilde 195 Auml 196 Aring 197 AElig 198 Ccedil 199 " +
-      "Egrave 200 Eacute 201 Ecirc 202 Euml 203 Igrave 204 Iacute 205 Icirc 206 Iuml 207 " +
-      "ETH 208 Ntilde 209 Ograve 210 Oacute 211 Ocirc 212 Otilde 213 Ouml 214 times 215 " +
-      "Oslash 216 Ugrave 217 Uacute 218 Ucirc 219 Uuml 220 Yacute 221 THORN 222 szlig 223 " +
-      "agrave 224 aacute 225 acirc 226 atilde 227 auml 228 aring 229 aelig 230 ccedil 231 " +
-      "egrave 232 eacute 233 ecirc 234 euml 235 igrave 236 iacute 237 icirc 238 iuml 239 " +
-      "eth 240 ntilde 241 ograve 242 oacute 243 ocirc 244 otilde 245 ouml 246 divide 247 " +
-      "oslash 248 ugrave 249 uacute 250 ucirc 251 uuml 252 yacute 253 thorn 254 yuml 255 " +
-      "OElig 338 oelig 339 Scaron 352 scaron 353 Yuml 376 fnof 402 circ 710 tilde 732 " +
-      "Alpha 913 Beta 914 Gamma 915 Delta 916 Epsilon 917 Zeta 918 Eta 919 Theta 920 " +
-      "Iota 921 Kappa 922 Lambda 923 Mu 924 Nu 925 Xi 926 Omicron 927 Pi 928 Rho 929 " +
-      "Sigma 931 Tau 932 Upsilon 933 Phi 934 Chi 935 Psi 936 Omega 937 " +
-      "alpha 945 beta 946 gamma 947 delta 948 epsilon 949 zeta 950 eta 951 theta 952 " +
-      "iota 953 kappa 954 lambda 955 mu 956 nu 957 xi 958 omicron 959 pi 960 rho 961 " +
-      "sigmaf 962 sigma 963 tau 964 upsilon 965 phi 966 chi 967 psi 968 omega 969 " +
-      "thetasym 977 upsih 978 piv 982 " +
-      "ensp 8194 emsp 8195 thinsp 8201 zwnj 8204 zwj 8205 lrm 8206 rlm 8207 " +
-      "ndash 8211 mdash 8212 lsquo 8216 rsquo 8217 sbquo 8218 ldquo 8220 rdquo 8221 " +
-      "bdquo 8222 dagger 8224 Dagger 8225 bull 8226 hellip 8230 permil 8240 prime 8242 " +
-      "Prime 8243 lsaquo 8249 rsaquo 8250 oline 8254 frasl 8260 euro 8364 " +
-      "alefsym 8501 weierp 8472 image 8465 real 8476 trade 8482 " +
-      "larr 8592 uarr 8593 rarr 8594 darr 8595 harr 8596 crarr 8629 " +
-      "lArr 8656 uArr 8657 rArr 8658 dArr 8659 hArr 8660 " +
-      "forall 8704 part 8706 exist 8707 empty 8709 nabla 8711 isin 8712 notin 8713 " +
-      "ni 8715 prod 8719 sum 8721 minus 8722 lowast 8727 radic 8730 prop 8733 " +
-      "infin 8734 ang 8736 and 8743 or 8744 cap 8745 cup 8746 int 8747 there4 8756 " +
-      "sim 8764 cong 8773 asymp 8776 ne 8800 equiv 8801 le 8804 ge 8805 " +
-      "sub 8834 sup 8835 nsub 8836 sube 8838 supe 8839 oplus 8853 otimes 8855 " +
-      "perp 8869 sdot 8901 lceil 8968 rceil 8969 lfloor 8970 rfloor 8971 " +
-      "lang 9001 rang 9002 loz 9674 spades 9824 clubs 9827 hearts 9829 diams 9830 " +
-      "AMP 38 GT 62 LT 60 QUOT 34 COPY 169 REG 174"
-
-  // HTML legacy names: also resolve WITHOUT a trailing ';' in body scope.
-  private val legacyNames: Set[String] = Set(
-    "AElig", "AMP", "Aacute", "Acirc", "Agrave", "Aring", "Atilde", "Auml",
-    "COPY", "Ccedil", "ETH", "Eacute", "Ecirc", "Egrave", "Euml", "GT",
-    "Iacute", "Icirc", "Igrave", "Iuml", "LT", "Ntilde", "Oacute", "Ocirc",
-    "Ograve", "Oslash", "Otilde", "Ouml", "QUOT", "REG", "THORN", "Uacute",
-    "Ucirc", "Ugrave", "Uuml", "Yacute", "aacute", "acirc", "acute", "aelig",
-    "agrave", "amp", "aring", "atilde", "auml", "brvbar", "ccedil", "cedil",
-    "cent", "copy", "curren", "deg", "divide", "eacute", "ecirc", "egrave",
-    "eth", "euml", "frac12", "frac14", "frac34", "gt", "iacute", "icirc",
-    "iexcl", "igrave", "iquest", "iuml", "laquo", "lt", "macr", "micro",
-    "middot", "nbsp", "not", "ntilde", "oacute", "ocirc", "ograve", "ordf",
-    "ordm", "oslash", "otilde", "ouml", "para", "plusmn", "pound", "quot",
-    "raquo", "reg", "sect", "shy", "sup1", "sup2", "sup3", "szlig", "thorn",
-    "times", "uacute", "ucirc", "ugrave", "uml", "uuml", "yacute", "yen",
-    "yuml")
-
+  // Full WHATWG table (EntityData is generated — see header). Keys are names
+  // WITHOUT the trailing ';'; they resolve when written with one. Values may
+  // be multi-codepoint strings.
   private val named: java.util.HashMap[String, String] = {
-    val m = new java.util.HashMap[String, String](1024)
-    val it = namedTable.split(' ').iterator
-    while (it.hasNext) {
-      val name = it.next()
-      val cp = it.next().toInt
-      m.put(name, new String(Character.toChars(cp)))
+    val m = new java.util.HashMap[String, String](4096)
+    val sb = new java.lang.StringBuilder(4)
+    EntityData.packed.foreach { chunk =>
+      val it = chunk.split(' ').iterator
+      while (it.hasNext) {
+        val name = it.next()
+        sb.setLength(0)
+        it.next().split(':').foreach(cp => sb.appendCodePoint(cp.toInt))
+        m.put(name, sb.toString)
+      }
     }
     m
   }
+
+  // WHATWG legacy names: also resolve WITHOUT a trailing ';' in body scope.
+  private val legacyNames: Set[String] = EntityData.legacyPacked.split(' ').toSet
 
   /** windows-1252 remap of C1 code points (html-entities numeric-unicode-map). */
   private val numericRemap: Map[Int, Int] = Map(
@@ -110,12 +76,28 @@ object Entities {
     isDigit(c) || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
 
   private def appendCodePoint(sb: java.lang.StringBuilder, code: Long): Unit = {
-    if (code > 0x10FFFFL) sb.append('�')
+    // html-entities: `decodeCode >= 0x10ffff ? outOfBoundsChar : ...` —
+    // U+10FFFF itself is treated as out of bounds
+    if (code >= 0x10FFFFL) sb.append('�')
     else if (code > 65535L) sb.appendCodePoint(code.toInt)
     else {
       val c = numericRemap.getOrElse(code.toInt, code.toInt)
       sb.append(c.toChar)
     }
+  }
+
+  /** JS `parseInt` on an unbounded digit string: leading zeros don't change
+    * the value, and anything that can't fit is still >= 0x10FFFF (precision
+    * loss beyond 2^53 is irrelevant — every such value maps to U+FFFD).
+    */
+  private def parseDigits(s: String, radix: Int): Long = {
+    var i = 0
+    val n = s.length
+    while (i < n && s.charAt(i) == '0') i += 1
+    val sig = n - i // significant digits
+    if (sig == 0) 0L
+    else if (sig > (if (radix == 16) 8 else 9)) 0x110000L
+    else java.lang.Long.parseLong(s.substring(i), radix)
   }
 
   /** html-entities decode, defaults (level=all, scope=body). */
@@ -136,12 +118,7 @@ object Entities {
           var k = j + 1
           while (k < n && isHex(s.charAt(k))) k += 1
           if (k > j + 1) {
-            // parseInt semantics: cap absurd lengths to avoid overflow
-            val hex = s.substring(j + 1, k)
-            val code =
-              if (hex.length > 8) 0x110000L
-              else java.lang.Long.parseLong(hex, 16)
-            appendCodePoint(sb, code)
+            appendCodePoint(sb, parseDigits(s.substring(j + 1, k), 16))
             if (k < n && s.charAt(k) == ';') k += 1
             pos = k
             consumed = true
@@ -150,11 +127,7 @@ object Entities {
           var k = j
           while (k < n && isDigit(s.charAt(k))) k += 1
           if (k > j) {
-            val dec = s.substring(j, k)
-            val code =
-              if (dec.length > 9) 0x110000L
-              else java.lang.Long.parseLong(dec, 10)
-            appendCodePoint(sb, code)
+            appendCodePoint(sb, parseDigits(s.substring(j, k), 10))
             if (k < n && s.charAt(k) == ';') k += 1
             pos = k
             consumed = true

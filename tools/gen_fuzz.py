@@ -25,6 +25,20 @@ TEXTS = ["hello world", "a  b   c", " leading", "trailing ", "x&amp;y",
          "line\nbreak", "tab\there", "", " ", "&#0;&#128;", "&lt;tag&gt;",
          "très tôt déjà", "日本語テキスト", "&quot;quoted&quot;",
          "&copyright; x", "&ampx &notit;", "&ltx; &gtq", "&nbspz"]
+
+# Full-WHATWG entity injection (incl. HTML5-only, multi-codepoint, and
+# legacy-prefix-collision names) so the kernel and the independently-sourced
+# entities shim can actually disagree on table coverage — the round-1 fuzz
+# pool only used names both sides were guaranteed to share.
+import html.entities as _he
+_h5 = sorted(k[:-1] for k in _he.html5 if k.endswith(";"))
+_ent_rng = random.Random(seed + 7)
+TEXTS += ["&%s;" % n for n in _ent_rng.sample(_h5, 80)]
+TEXTS += ["x&%s;y&%s" % (a, b)
+          for a, b in zip(_ent_rng.sample(_h5, 12), _ent_rng.sample(_h5, 12))]
+TEXTS += ["&NotEqualTilde; &bnequiv;", "&check;&star;&num;", "&half; &sol;",
+          "&notinva;", "&timesbar; &timesb", "&centerdot; &cent",
+          "&copysr;&copyZZ;", "&gtrapprox;&gtr", "&#x10FFFE;", "&#x0041;"]
 ATTRS = ['id="x{i}"', "id='y{i}'", "id=z{i}", 'class="c{i} d{i}"', "class=''",
          'class=""', "href=\"https://ex.com/{i}\"", "href=/rel/{i}",
          "data-x='{i}'", "title=\"has space {i}\"", "attr='>'", "attr='/>'",
