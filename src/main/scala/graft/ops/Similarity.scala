@@ -82,16 +82,26 @@ object Similarity {
     * cosine re-rank within the bucket. Same output shape as bruteForceTopK.
     * Multi-probe: each vector also lands in the `nProbes` buckets at Hamming
     * distance 1 (flipping one plane) to lift recall.
+    *
+    * `maxBucket` caps the corpus-side bucket population: a degenerate bucket
+    * (e.g. all-zero or boilerplate embeddings collapsing to one signature)
+    * otherwise makes the candidate join quadratic in that bucket. Members of
+    * over-cap buckets are excluded from candidacy (an over-full LSH bucket
+    * carries ~no discriminative signal); the drop is observable via
+    * `hotBuckets`.
     */
   def lshTopK(emb: DataFrame, nQueries: Int, k: Int, nPlanes: Int,
-      nProbes: Int = 4): DataFrame = {
+      nProbes: Int = 4, maxBucket: Int = 100000): DataFrame = {
     val sigUdf = udf { (v: Seq[Float]) => signature(v, nPlanes) }
     val probesUdf = udf { (v: Seq[Float]) =>
       val s = signature(v, nPlanes)
       (s +: Array.tabulate(math.min(nProbes, nPlanes))(p => s ^ (1 << p)).toSeq).distinct
     }
     val base = emb.select(col("vec_id"), col("embedding"))
-    val bucketed = base.withColumn("bucket", sigUdf(col("embedding")))
+    val bucketed0 = base.withColumn("bucket", sigUdf(col("embedding")))
+    val keep = bucketed0.groupBy("bucket").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket).select("bucket")
+    val bucketed = bucketed0.join(keep, "bucket")
     val q = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
         explode(probesUdf(col("embedding"))).as("bucket"))
@@ -104,5 +114,41 @@ object Similarity {
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Sign-quantization block key over the first `dims` dimensions —
+    * axis-aligned hyperplane LSH as a PURE Column expression (bit d set iff
+    * embedding[d] >= 0). Stays in whole-stage codegen and is exactly
+    * reproducible in the DuckDB oracle, unlike the mixed-weight hyperplanes.
+    */
+  def signBlock(embCol: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column =
+    (0 until dims).map { d =>
+      when(element_at(embCol, d + 1) >= 0f, 1 << d).otherwise(0)
+    }.reduce(_ + _)
+
+  /** Embedding-cosine near-dup pairs at scale: candidates share the
+    * sign-quantization block (equi-join on the block key — shuffle-bounded,
+    * never a cartesian/BroadcastNestedLoop), exact cosine >= `threshold` as
+    * the re-rank filter. Recall < 1 by LSH construction: a qualifying pair
+    * split across blocks is missed — the standard trade for replacing the
+    * O(n^2) all-pairs scan at 10^12 rows.
+    *
+    * `maxBucket` drops degenerate blocks (see lshTopK) — mirrored exactly by
+    * the q28 oracle so capped and uncapped runs stay hash-comparable.
+    */
+  def blockedNearDup(emb: DataFrame, threshold: Double, dims: Int = 8,
+      maxBucket: Int = 100000): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"),
+      signBlock(col("embedding"), dims).as("block"))
+    val keep = e.groupBy("block").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket).select("block")
+    val kept = e.join(keep, "block")
+    val a = kept.toDF("block", "id1", "emb1")
+    val b = kept.toDF("block", "id2", "emb2")
+    a.join(b, Seq("block"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        round(cosineUdf(col("emb1"), col("emb2")), 4).as("c"))
+      .filter(col("c") >= threshold)
   }
 }

@@ -21,13 +21,18 @@ object TextAnalysis {
     "de" -> Set("der", "die", "das", "und", "ein", "eine", "von", "zu",
       "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"))
 
-  /** Heuristic language ID: CJK char ratio → zh/ja/ko bucket; Cyrillic →
-    * ru bucket; otherwise best stopword-profile score among en/fr/es/de
-    * ("und" unknown when nothing scores).
+  /** Heuristic language ID by script + stopword profile: within CJK-heavy
+    * text, kana (Hiragana/Katakana) distinguishes Japanese and Hangul
+    * distinguishes Korean — Japanese prose is typically 20–50% kana (any
+    * share >= 10% of CJK letters is decisive), Korean is nearly all Hangul;
+    * Han-only text is labeled zh. Cyrillic → ru; otherwise best
+    * stopword-profile score among en/fr/es/de ("und" when nothing scores).
     */
   def langIdOf(text: String): String = {
     if (text == null || text.isEmpty) return "und"
-    var cjk = 0
+    var han = 0
+    var kana = 0
+    var hangul = 0
     var cyr = 0
     var letters = 0
     var i = 0
@@ -36,16 +41,21 @@ object TextAnalysis {
       if (Character.isLetter(c)) {
         letters += 1
         val b = Character.UnicodeBlock.of(c)
-        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
-          b == Character.UnicodeBlock.HIRAGANA ||
-          b == Character.UnicodeBlock.KATAKANA ||
-          b == Character.UnicodeBlock.HANGUL_SYLLABLES) cjk += 1
+        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS) han += 1
+        else if (b == Character.UnicodeBlock.HIRAGANA ||
+          b == Character.UnicodeBlock.KATAKANA) kana += 1
+        else if (b == Character.UnicodeBlock.HANGUL_SYLLABLES) hangul += 1
         else if (b == Character.UnicodeBlock.CYRILLIC) cyr += 1
       }
       i += 1
     }
     if (letters == 0) return "und"
-    if (cjk * 3 > letters) return "zh"
+    val cjk = han + kana + hangul
+    if (cjk * 3 > letters) {
+      if (kana * 10 >= cjk) return "ja"
+      if (hangul * 2 >= cjk) return "ko"
+      return "zh"
+    }
     if (cyr * 3 > letters) return "ru"
     val toks = text.toLowerCase.split("[^\\p{L}]+")
     var best = "und"

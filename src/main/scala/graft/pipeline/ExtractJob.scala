@@ -40,21 +40,32 @@ object ExtractJob {
     (nodes, elements, links)
   }
 
-  def parsePage(url: String, warcTs: java.sql.Timestamp, html: Array[Byte],
-      lang: String, options: ParseOptions = ParseOptions()): ParsedDoc = {
+  def parsePage(docId: Long, url: String, warcTs: java.sql.Timestamp,
+      html: Array[Byte], lang: String,
+      options: ParseOptions = ParseOptions()): ParsedDoc = {
     val raw = new String(html, java.nio.charset.StandardCharsets.UTF_8)
     val root = HtmlParser.parse(raw, options)
     val (nodes, elements, links) = stats(root)
-    ParsedDoc(url, warcTs, lang, root.valid, root.structuredText,
+    ParsedDoc(docId, url, warcTs, lang, root.valid, root.structuredText,
       nodes, elements, links, html.length)
   }
 
-  /** pages(url, warc_ts, html, text, lang, …) → Dataset[ParsedDoc]. */
+  /** pages(url, warc_ts, html, text, lang, …) → Dataset[ParsedDoc].
+    *
+    * `doc_id` is carried through when the input has one (so downstream
+    * joins-by-id are free — re-joining the output against the source table
+    * just to recover an id was the single avoidable shuffle in the flagship
+    * query); inputs without the column get -1.
+    */
   def run(pages: DataFrame, saltPartitions: Int = 0): Dataset[ParsedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     // prune to exactly what the kernel needs BEFORE any shuffle
-    val pruned = pages.select("url", "warc_ts", "html", "lang")
+    val withId =
+      if (pages.columns.contains("doc_id")) pages
+      else pages.withColumn("doc_id", lit(-1L))
+    val pruned = withId.select(col("doc_id").cast("long").as("doc_id"),
+      col("url"), col("warc_ts"), col("html"), col("lang"))
     val routed =
       if (saltPartitions > 0) {
         // canonical salted-host repartition: the key is (host, salt) so a
@@ -68,20 +79,29 @@ object ExtractJob {
           .drop("__host")
       } else pruned
     routed
-      .as[(String, java.sql.Timestamp, Array[Byte], String)]
+      .as[(Long, String, java.sql.Timestamp, Array[Byte], String)]
       .mapPartitions { it =>
-        it.map { case (url, ts, html, lang) => parsePage(url, ts, html, lang) }
+        it.map { case (id, url, ts, html, lang) => parsePage(id, url, ts, html, lang) }
       }
   }
 
   /** One row per ELEMENT node, in document order (SURVEY.md §1.4): the
     * relational surface for selector queries — single-part selectors become
-    * Catalyst predicates over (tag, id, classes, attrs) with pushdown and
-    * pruning for free, no per-row HTML parsing downstream of this table.
+    * Catalyst predicates over (tag, id, classes, attrs), and DESCENDANT
+    * combinators become an equi-join on (doc_id, exploded ancestors) —
+    * no per-row HTML parsing downstream of this table.
+    *
+    * `parent_idx` is the node_idx of the nearest ancestor ELEMENT (-1 when
+    * the parent is the document root); `ancestors` lists all ancestor
+    * element indices nearest-first. The per-entry ancestor list is a shared-
+    * tail cons list during traversal, so building it is O(1) per node.
     */
   final case class NodeRow(
+      doc_id: Long,
       url: String,
       node_idx: Int,
+      parent_idx: Int,
+      ancestors: Seq[Int],
       tag: String,
       id: String,
       classes: Seq[String],
@@ -90,19 +110,24 @@ object ExtractJob {
   def explodeNodes(pages: DataFrame): Dataset[NodeRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
-    pages.select("url", "html")
-      .as[(String, Array[Byte])]
+    val withId =
+      if (pages.columns.contains("doc_id")) pages
+      else pages.withColumn("doc_id", lit(-1L))
+    withId.select(col("doc_id").cast("long"), col("url"), col("html"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (url, html) =>
+        it.flatMap { case (docId, url, html) =>
           val root = HtmlParser.parse(
             new String(html, java.nio.charset.StandardCharsets.UTF_8))
           val out = scala.collection.mutable.ArrayBuffer.empty[NodeRow]
-          val stack = new scala.collection.mutable.ArrayBuffer[DomNode](32)
+          val stack =
+            new scala.collection.mutable.ArrayBuffer[(DomNode, List[Int])](32)
           var i = root.childNodes.length - 1
-          while (i >= 0) { stack += root.childNodes(i); i -= 1 }
+          while (i >= 0) { stack += ((root.childNodes(i), Nil)); i -= 1 }
           var idx = 0
           while (stack.nonEmpty) {
-            stack.remove(stack.length - 1) match {
+            val (node, anc) = stack.remove(stack.length - 1)
+            node match {
               case e: Element =>
                 val attrs = {
                   val b = Map.newBuilder[String, String]
@@ -113,16 +138,38 @@ object ExtractJob {
                   }
                   b.result()
                 }
-                out += NodeRow(url, idx, e.tagName, e.id, e.classNames.toSeq, attrs)
+                out += NodeRow(docId, url, idx, anc.headOption.getOrElse(-1),
+                  anc, e.tagName, e.id, e.classNames.toSeq, attrs)
+                val childAnc = idx :: anc
                 idx += 1
                 var j = e.childNodes.length - 1
-                while (j >= 0) { stack += e.childNodes(j); j -= 1 }
+                while (j >= 0) { stack += ((e.childNodes(j), childAnc)); j -= 1 }
               case _ =>
             }
           }
           out
         }
       }
+  }
+
+  /** Relational descendant combinator (`ancestorSel descendantSel` with
+    * SPACE semantics — /root/reference/src/index.ts:418–454): elements
+    * matching `descendantPred` that have ANY ancestor matching
+    * `ancestorPred`. Pure Catalyst: explode the ancestors array and
+    * equi-join on (doc_id, ancestor idx) — a shuffle-on-key plan that
+    * broadcasts nothing and scans HTML zero times downstream of the node
+    * table. Output: one row per matching descendant element (deduped —
+    * multiple matching ancestors yield one row, like querySelectorAll).
+    */
+  def descendants(nodes: DataFrame,
+      ancestorPred: org.apache.spark.sql.Column,
+      descendantPred: org.apache.spark.sql.Column): DataFrame = {
+    val anc = nodes.filter(ancestorPred)
+      .select(col("doc_id"), col("node_idx").as("anc_idx"))
+    val desc = nodes.filter(descendantPred)
+      .select(col("doc_id"), col("node_idx"), explode(col("ancestors")).as("anc_idx"))
+    desc.join(anc, Seq("doc_id", "anc_idx"))
+      .select("doc_id", "node_idx").distinct()
   }
 
   /** Shared metric aggregate columns — single definition so the per-lang

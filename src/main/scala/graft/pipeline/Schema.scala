@@ -14,6 +14,7 @@ final case class Page(
   * this columnar projection does (Tungsten-encoded after SerializeFromObject).
   */
 final case class ParsedDoc(
+    doc_id: Long,
     url: String,
     warc_ts: java.sql.Timestamp,
     lang: String,

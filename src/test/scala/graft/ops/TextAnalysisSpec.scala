@@ -11,6 +11,12 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.langIdOf("der Hund und die Katze sind nicht im Haus") == "de")
     assert(TextAnalysis.langIdOf("这是一个中文句子没有空格") == "zh")
     assert(TextAnalysis.langIdOf("это русское предложение для теста") == "ru")
+    // kana share splits Japanese out of the Han bucket (typical prose mixes
+    // kanji + kana); Hangul splits Korean
+    assert(TextAnalysis.langIdOf("これは日本語の文章です。漢字とかなが混ざります。") == "ja")
+    assert(TextAnalysis.langIdOf("日本語のテキストサンプル") == "ja")
+    assert(TextAnalysis.langIdOf("이것은 한국어 문장입니다 테스트용") == "ko")
+    assert(TextAnalysis.langIdOf("한국어 漢字 혼용 문장도 한국어로") == "ko")
     assert(TextAnalysis.langIdOf("") == "und")
     assert(TextAnalysis.langIdOf("12345 67890 !!!") == "und")
   }

@@ -118,6 +118,64 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
   }
 
+  test("hot-bucket cap stops degenerate buckets going quadratic") {
+    import spark.implicits._
+    // 1,000 identical docs: every (band, bucket) holds all 1,000 ids — the
+    // uncapped self-join would emit 499,500 pairs × 8 bands; the cap excludes
+    // the bucket entirely (an all-match bucket carries no dedup signal)
+    val docs = (0L until 1000L).map(i => (i, "same text every time"))
+      .toDF("doc_id", "text")
+    val capped = graft.ops.Dedup.minhashCandidates(docs, numHashes = 32,
+      bands = 8, maxBucket = 100)
+    assert(capped.count() == 0L)
+    val hot = graft.ops.Dedup.hotBuckets(docs, numHashes = 32, bands = 8,
+      maxBucket = 100).collect()
+    assert(hot.length == 8 && hot.forall(_.getAs[Long]("n") == 1000L))
+    // normal corpora are untouched: near-dup pair still found under the cap
+    val mixed = Seq(
+      (0L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (1L, (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"),
+      (2L, (100 to 160).map(i => s"tok$i").mkString(" "))).toDF("doc_id", "text")
+    val cands = graft.ops.Dedup.minhashCandidates(mixed, 32, 8, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((0L, 1L)))
+  }
+
+  test("blockedNearDup finds identical vectors via sign-block equi-join") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    val rows = (0 until 10).flatMap { k =>
+      val v = vec(k)
+      Seq((2L * k, v), (2L * k + 1, v.updated(0, v.head * 1.001f)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val pairs = graft.ops.Similarity.blockedNearDup(emb, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted twins share every sign bit (same block) and cosine ~1
+    (0 until 10).foreach { k =>
+      assert(pairs.contains((2L * k, 2L * k + 1)), s"twin pair $k missing")
+    }
+    // cap excludes over-full blocks entirely
+    val dup = (0L until 50L).map(i => (i, vec(7))).toDF("vec_id", "embedding")
+    assert(graft.ops.Similarity.blockedNearDup(dup, 0.5, maxBucket = 10).count() == 0L)
+  }
+
+  test("relational descendant combinator matches kernel querySelectorAll") {
+    import spark.implicits._
+    val html = "<div><ul><li class=\"item\">a</li><span><li class=\"item\">b</li>" +
+      "</span></ul><li class=\"item\">outside</li><ul><p class=\"item\">c</p></ul></div>"
+    val pages = Seq((1L, "u", html.getBytes("UTF-8"))).toDF("doc_id", "url", "html")
+    val nodes = ExtractJob.explodeNodes(pages).toDF()
+    val rel = ExtractJob.descendants(nodes,
+      org.apache.spark.sql.functions.col("tag") === "ul",
+      org.apache.spark.sql.functions.array_contains(
+        org.apache.spark.sql.functions.col("classes"), "item")).count()
+    val kernel = graft.kernel.HtmlParser.parse(html)
+      .querySelectorAll("ul [class~=\"item\"]").length
+    assert(rel == kernel.toLong && rel == 3L) // li a, li b (nested), p c — not "outside"
+  }
+
   test("ngram jaccard on explicit pairs") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d e"), (1L, "a b c d x")).toDF("doc_id", "text")
