@@ -314,6 +314,27 @@ object SparkEntry {
         ("WITH w AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)) " +
           "SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter " +
           "FROM w a JOIN w b ON b.doc_id = a.doc_id + 1 AND a.tok = b.tok GROUP BY 1, 2"),
+      // q16/q33 expected values precomputed by an INDEPENDENT Python
+      // implementation of the same public constructions
+      // (tools/gen_expected_fixtures.py), keyed by md5(text) so one fixture
+      // serves every scale factor — flips both from rows-only to full
+      // rows+schema+hash oracle checks
+      "q15_minhash_bands" ->
+        ("SELECT d.doc_id, f.band, f.bucket FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/minhash_bands_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5"),
+      "q27_langid" ->
+        ("SELECT d.lang, f.lang_guess, count(*) AS docs FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/langid_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5 GROUP BY 1, 2"),
+      "q16_simhash" ->
+        ("SELECT d.doc_id, f.simhash FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/simhash_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5"),
+      "q33_winnow_fp" ->
+        ("SELECT d.doc_id, f.fingerprint FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/winnow_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5"),
       "q14_lang_markers" ->
         ("SELECT lang, count(*) AS docs, " +
           "cast(sum(CASE WHEN concat(' ', text, ' ') LIKE '% the %' THEN 1 ELSE 0 END) AS bigint) AS docs_with_the, " +

@@ -1,0 +1,228 @@
+#!/usr/bin/env python3
+"""Generate expected-value parquet fixtures for the non-SQL-expressible
+sketches, so q16 (simhash) and q33 (winnowing) get FULL rows+schema+hash
+oracle checks instead of rows-only.
+
+This is an INDEPENDENT reimplementation (pure Python) of the same public
+constructions the Scala side implements — FNV-1a/64 over UTF-16 code units,
+64-bit SimHash with unit weights, Rabin-Karp rolling hash (B=1000003,
+window=16) + winnowing (guarantee=8, first-seen order, deduped). Any drift
+between the two implementations shows up as a hash mismatch in the driver's
+DuckDB compare.
+
+Fixtures are keyed by md5(text) — not doc_id — so one fixture covers every
+scale factor whose documents appear here (sf0.001/sf0.01/sf0.1 by default).
+
+Usage: gen_expected_fixtures.py [sfDir ...]
+Writes tools/fixtures/{simhash,winnow}_expected.parquet
+"""
+import sys, os, hashlib, re
+
+import duckdb
+
+MASK = (1 << 64) - 1
+
+
+def to_signed(x):
+    x &= MASK
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
+def utf16_units(s):
+    b = s.encode("utf-16-le")
+    return [b[i] | (b[i + 1] << 8) for i in range(0, len(b), 2)]
+
+
+def fnv1a64(units):
+    h = 0xcbf29ce484222325
+    for u in units:
+        h = ((h ^ u) * 0x100000001b3) & MASK
+    return h
+
+
+# Java `text.split("\\s+")`: ASCII whitespace class, trailing empty strings
+# removed, leading empty kept; "" splits to [""]
+_JWS = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def java_split_ws(text):
+    if text == "":
+        return [""]
+    parts = _JWS.split(text)
+    while parts and parts[-1] == "":
+        parts.pop()
+    return parts
+
+
+def simhash(text):
+    counts = [0] * 64
+    for tok in java_split_ws(text):
+        h = fnv1a64(utf16_units(tok))
+        for bit in range(64):
+            if (h >> bit) & 1:
+                counts[bit] += 1
+            else:
+                counts[bit] -= 1
+    out = 0
+    for bit in range(64):
+        if counts[bit] > 0:
+            out |= 1 << bit
+    return to_signed(out)
+
+
+def rolling_hashes(text, window=16):
+    units = utf16_units(text)
+    if len(units) < window:
+        return [to_signed(fnv1a64(units))]
+    B = 1000003
+    pow_ = 1
+    for _ in range(window - 1):
+        pow_ = (pow_ * B) & MASK
+    h = 0
+    for i in range(window):
+        h = (h * B + units[i]) & MASK
+    out = [h]
+    for i in range(window, len(units)):
+        h = ((h - units[i - window] * pow_) * B + units[i]) & MASK
+        out.append(h)
+    return [to_signed(x) for x in out]
+
+
+def winnow(hashes, guarantee=8):
+    if not hashes:
+        return []
+    if len(hashes) <= guarantee:
+        return [min(hashes)]
+    seen, out = set(), []
+    for i in range(len(hashes) - guarantee + 1):
+        m = min(hashes[i:i + guarantee])
+        if m not in seen:
+            seen.add(m)
+            out.append(m)
+    return out
+
+
+def mix64(z):
+    z &= MASK
+    z ^= z >> 33
+    z = (z * 0xff51afd7ed558ccd) & MASK
+    z ^= z >> 33
+    z = (z * 0xc4ceb9fe1a85ec53) & MASK
+    z ^= z >> 33
+    return z
+
+
+def minhash_bands(text, num_hashes=32, bands=8):
+    rows = num_hashes // bands
+    toks = set(java_split_ws(text))
+    seeds = [mix64(((i + 1) * 0x9E3779B97F4A7C15) & MASK) for i in range(num_hashes)]
+    sig = [MASK] * num_hashes  # unsigned max; mins compared unsigned
+    for t in toks:
+        x = fnv1a64(utf16_units(t))
+        for i in range(num_hashes):
+            v = mix64(x ^ seeds[i])
+            if v < sig[i]:
+                sig[i] = v
+    out = []
+    for b in range(bands):
+        h = 0xcbf29ce484222325
+        for r in range(rows):
+            h = ((h ^ sig[b * rows + r]) * 0x100000001b3) & MASK
+        out.append((b, to_signed(h)))
+    return out
+
+
+# ---- language-ID heuristic (independent port of TextAnalysis.langIdOf) ----
+
+_STOPWORDS = [  # same insertion order as the Scala Map (ties -> earlier wins)
+    ("en", {"the", "of", "and", "to", "in", "is", "it", "that", "was",
+            "for", "with", "his", "her", "this", "are", "not", "you"}),
+    ("fr", {"le", "la", "les", "de", "des", "et", "un", "une", "du",
+            "en", "est", "que", "pour", "dans", "qui", "pas", "sur"}),
+    ("es", {"el", "la", "los", "las", "de", "y", "un", "una", "del",
+            "en", "es", "que", "por", "para", "con", "no", "se"}),
+    ("de", {"der", "die", "das", "und", "ein", "eine", "von", "zu",
+            "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"}),
+]
+
+import unicodedata
+
+
+def lang_id(text):
+    if not text:
+        return "und"
+    han = kana = hangul = cyr = letters = 0
+    for u in utf16_units(text):  # UTF-16 units, like the JVM charAt loop
+        if 0xD800 <= u <= 0xDFFF:
+            continue  # lone surrogate: not a letter to Character.isLetter
+        c = chr(u)
+        if unicodedata.category(c).startswith("L"):
+            letters += 1
+            if 0x4E00 <= u <= 0x9FFF:
+                han += 1
+            elif 0x3040 <= u <= 0x30FF:
+                kana += 1
+            elif 0xAC00 <= u <= 0xD7AF:
+                hangul += 1
+            elif 0x0400 <= u <= 0x04FF:
+                cyr += 1
+    if letters == 0:
+        return "und"
+    cjk = han + kana + hangul
+    if cjk * 3 > letters:
+        if kana * 10 >= cjk:
+            return "ja"
+        if hangul * 2 >= cjk:
+            return "ko"
+        return "zh"
+    if cyr * 3 > letters:
+        return "ru"
+    toks = re.findall(r"[^\W\d_]+", text.lower())
+    best, best_score = "und", 0
+    for lang, sw in _STOPWORDS:
+        score = sum(1 for t in toks if t in sw)
+        if score > best_score:
+            best_score, best = score, lang
+    return best
+
+
+def main():
+    sfdirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                              "/root/testdata/sf0.1"]
+    texts = {}
+    con = duckdb.connect()
+    for d in sfdirs:
+        p = f"{d}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        for (t,) in con.execute(f"SELECT text FROM '{p}'").fetchall():
+            texts[hashlib.md5(t.encode()).hexdigest()] = t
+    sim_rows, win_rows, band_rows, lang_rows = [], [], [], []
+    for md, t in sorted(texts.items()):
+        sim_rows.append((md, simhash(t)))
+        for fp in winnow(rolling_hashes(t)):
+            win_rows.append((md, fp))
+        for b, h in minhash_bands(t):
+            band_rows.append((md, b, h))
+        lang_rows.append((md, lang_id(t)))
+    outdir = os.path.join(os.path.dirname(__file__), "fixtures")
+    os.makedirs(outdir, exist_ok=True)
+    con.execute("CREATE TABLE sim(text_md5 VARCHAR, simhash BIGINT)")
+    con.executemany("INSERT INTO sim VALUES (?, ?)", sim_rows)
+    con.execute(f"COPY sim TO '{outdir}/simhash_expected.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE win(text_md5 VARCHAR, fingerprint BIGINT)")
+    con.executemany("INSERT INTO win VALUES (?, ?)", win_rows)
+    con.execute(f"COPY win TO '{outdir}/winnow_expected.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE mb(text_md5 VARCHAR, band INT, bucket BIGINT)")
+    con.executemany("INSERT INTO mb VALUES (?, ?, ?)", band_rows)
+    con.execute(f"COPY mb TO '{outdir}/minhash_bands_expected.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE lg(text_md5 VARCHAR, lang_guess VARCHAR)")
+    con.executemany("INSERT INTO lg VALUES (?, ?)", lang_rows)
+    con.execute(f"COPY lg TO '{outdir}/langid_expected.parquet' (FORMAT PARQUET)")
+    print("wrote %s: %d texts, %d simhash, %d winnow, %d band, %d langid rows"
+          % (outdir, len(texts), len(sim_rows), len(win_rows), len(band_rows),
+             len(lang_rows)))
+
+
+if __name__ == "__main__":
+    main()
