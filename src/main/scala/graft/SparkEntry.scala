@@ -230,21 +230,29 @@ object SparkEntry {
       // explode once, then equi-join exploded ancestors — zero per-row HTML
       // UDFs downstream of the node table (reference semantics:
       // /root/reference/src/index.ts:418–454)
-      val nodes = ExtractJob.explodeNodes(pagesDf(s, dir)).toDF()
-      val items = ExtractJob.descendants(nodes,
-          ancestorPred = col("tag") === "ul",
-          descendantPred = array_contains(col("classes"), "item"))
-        .groupBy("doc_id").agg(count(lit(1)).as("n_item_desc"))
       // (the malformed variant's unclosed <h3> is dropped by the repair
       // pass — reference semantics, pinned by q09's n_elements=1 — so the
-      // second probe uses `div p`, present only in well-formed pages)
-      val ps = ExtractJob.descendants(nodes,
-          ancestorPred = col("tag") === "div",
-          descendantPred = col("tag") === "p")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_p_in_div"))
+      // second probe uses `div p`, present only in well-formed pages.)
+      // Both probes share ONE parse pass and ONE ancestor equi-join; the
+      // per-probe distinct-descendant counts fall out of conditional
+      // countDistinct over the joined rows.
+      val nodes = ExtractJob.explodeNodes(pagesDf(s, dir)).toDF()
+      val anc = nodes.filter(col("tag").isin("ul", "div"))
+        .select(col("doc_id"), col("node_idx").as("anc_idx"),
+          col("tag").as("anc_tag"))
+      val desc = nodes
+        .filter(array_contains(col("classes"), "item") || col("tag") === "p")
+        .select(col("doc_id"), col("node_idx"), col("tag"), col("classes"),
+          explode(col("ancestors")).as("anc_idx"))
+      val counts = desc.join(anc, Seq("doc_id", "anc_idx"))
+        .groupBy("doc_id").agg(
+          countDistinct(when(col("anc_tag") === "ul" &&
+            array_contains(col("classes"), "item"), col("node_idx")))
+            .as("n_item_desc"),
+          countDistinct(when(col("anc_tag") === "div" && col("tag") === "p",
+            col("node_idx"))).as("n_p_in_div"))
       docs(s, dir).select("doc_id")
-        .join(items, Seq("doc_id"), "left")
-        .join(ps, Seq("doc_id"), "left")
+        .join(counts, Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("n_item_desc"), lit(0L)).as("n_item_desc"),
           coalesce(col("n_p_in_div"), lit(0L)).as("n_p_in_div"))
