@@ -2,7 +2,17 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.pipeline.{ExtractJob, ParsedDoc}
+
+/** Running per-host crawl-session state (flatMapGroupsWithState). */
+final case class HostState(
+    docs: Long, errors: Long, bytes: Long, firstTs: Long, lastTs: Long)
+
+/** Emitted when a host goes quiet for the session gap. */
+final case class HostSession(
+    host: String, docs: Long, errors: Long, bytes: Long,
+    start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
 /** Structured-Streaming form of the extraction pipeline: the reference has
   * no streaming (SURVEY.md §2.G documents batch-with-resume as the covering
@@ -27,4 +37,47 @@ object ExtractStream {
         count(lit(1)).as("docs"),
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("parse_errors"),
         sum("n_bytes").as("bytes_in"))
+
+  /** Custom keyed state: per-HOST crawl sessions via flatMapGroupsWithState
+    * with an event-time timeout. A host's state accumulates (docs, errors,
+    * bytes, first/last event time) while pages keep arriving; when the
+    * watermark passes lastTs + gap the session is emitted and the state
+    * cleared. State is O(hosts), bounded by the watermark — the standard
+    * shape for continuous crawl monitoring at 10^12 docs (state store is
+    * per-key, sharded by the shuffle on the group key).
+    */
+  def hostSessions(parsed: Dataset[ParsedDoc],
+      gapMs: Long = 600000L): Dataset[HostSession] = {
+    val spark = parsed.sparkSession
+    import spark.implicits._
+    val withHost = parsed.toDF()
+      .withWatermark("warc_ts", "10 minutes")
+      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .select(col("host"), col("warc_ts"), col("parse_ok"), col("n_bytes"))
+      .as[(String, java.sql.Timestamp, Boolean, Int)]
+
+    def update(host: String,
+        rows: Iterator[(String, java.sql.Timestamp, Boolean, Int)],
+        state: GroupState[HostState]): Iterator[HostSession] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(HostSession(host, s.docs, s.errors, s.bytes,
+          new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs)))
+      } else {
+        var s = state.getOption.getOrElse(HostState(0L, 0L, 0L, Long.MaxValue, 0L))
+        rows.foreach { case (_, ts, ok, bytes) =>
+          val t = ts.getTime
+          s = HostState(s.docs + 1, s.errors + (if (ok) 0L else 1L),
+            s.bytes + bytes, math.min(s.firstTs, t), math.max(s.lastTs, t))
+        }
+        state.update(s)
+        state.setTimeoutTimestamp(s.lastTs + gapMs)
+        Iterator.empty
+      }
+    }
+
+    withHost.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
 }

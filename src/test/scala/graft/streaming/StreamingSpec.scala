@@ -49,6 +49,36 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("stateful host sessions emit on event-time timeout (flatMapGroupsWithState)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Page]
+    val sessions = ExtractStream.hostSessions(
+      ExtractStream.run(input.toDF()), gapMs = 120000L) // 2-minute gap
+    val q = sessions.writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        page("https://h1.example/a", 0, "<p>x</p>"),
+        page("https://h1.example/b", 1, "<p><h3>bad"),
+        page("https://h2.example/c", 0, "<p>y</p>"))
+      q.processAllAvailable()
+      // nothing emitted yet: watermark hasn't passed lastTs + gap
+      assert(spark.sql("SELECT * FROM sessions_stream").count() == 0)
+      // advance event time far beyond watermark delay (10 min) + gap
+      input.addData(page("https://h3.example/z", 40, "<p>late</p>"))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT host, docs, errors, bytes FROM sessions_stream ORDER BY host")
+        .collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(0) == "h1.example" &&
+        rows(0).getLong(1) == 2 && rows(0).getLong(2) == 1)
+      assert(rows(1).getString(0) == "h2.example" &&
+        rows(1).getLong(1) == 1 && rows(1).getLong(2) == 0)
+    } finally q.stop()
+  }
+
   test("watermarked windowed metrics aggregate per minute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
