@@ -40,6 +40,25 @@ object Similarity {
   val cosineUdf = udf { (a: Seq[Float], b: Seq[Float]) => cosineF(a, b) }
   private def cosUdf = cosineUdf
 
+  /** Pure-Column cosine via `zip_with` + `aggregate` — stays inside
+    * whole-stage codegen, no UDF serialization boundary. Accumulates in
+    * double (each float product widened), so the last ulps can differ from
+    * cosineF's float32 accumulation; use THIS in hot paths with no
+    * float32-parity oracle, and cosineUdf where DuckDB's
+    * list_cosine_similarity float math must be matched bit-for-bit after
+    * 4-decimal rounding (q17/q28).
+    */
+  def cosineCol(a: org.apache.spark.sql.Column,
+      b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def dot(x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    val ab = dot(a, b)
+    val na = dot(a, a)
+    val nb = dot(b, b)
+    // zero-norm → 0.0, matching cosineF (NaN would sort above all doubles)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(ab / sqrt(na * nb))
+  }
+
   /** Exact top-k neighbors for the first `nQueries` vectors.
     * Output: (query_id, rank, neighbor_id) — ints only, oracle-hashable.
     */
@@ -107,8 +126,11 @@ object Similarity {
         explode(probesUdf(col("embedding"))).as("bucket"))
     val cand = bucketed.join(broadcast(q), "bucket")
       .filter(col("vec_id") =!= col("query_id"))
+      // re-rank via the pure-Column cosine: the hot inner loop stays in
+      // whole-stage codegen (no UDF boundary); no float32-parity oracle
+      // binds this query (rows-only + planted-twin specs)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(cosUdf(col("q_embedding"), col("embedding")), 4).as("c"))
+        round(cosineCol(col("q_embedding"), col("embedding")), 4).as("c"))
       .dropDuplicates("query_id", "neighbor_id", "c")
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))

@@ -161,6 +161,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Similarity.blockedNearDup(dup, 0.5, maxBucket = 10).count() == 0L)
   }
 
+  test("pure-Column cosine (zip_with/aggregate) tracks the float32 UDF") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 13 + i * 5).toFloat)
+    val rows = (0 until 8).map(k => (k.toLong, vec(k), vec(k + 3)))
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      graft.ops.Similarity.cosineCol(col("a"), col("b")).as("c"),
+      graft.ops.Similarity.cosineUdf(col("a"), col("b")).as("e"))
+      .collect()
+    got.foreach { r =>
+      assert(math.abs(r.getDouble(1) - r.getDouble(2)) < 1e-5,
+        s"id=${r.getLong(0)} col=${r.getDouble(1)} udf=${r.getDouble(2)}")
+    }
+    // zero-norm guard matches cosineF's 0.0 convention
+    val z = Seq((0L, Seq.fill(4)(0f), vec(1).take(4))).toDF("id", "a", "b")
+      .select(graft.ops.Similarity.cosineCol(col("a"), col("b")).as("c"))
+      .collect().head.getDouble(0)
+    assert(z == 0.0)
+  }
+
   test("relational descendant combinator matches kernel querySelectorAll") {
     import spark.implicits._
     val html = "<div><ul><li class=\"item\">a</li><span><li class=\"item\">b</li>" +
