@@ -47,7 +47,13 @@ ATTRS = ['id="x{i}"', "id='y{i}'", "id=z{i}", 'class="c{i} d{i}"', "class=''",
          "xmlns:x=\"urn:{i}\"", "data-json='{{\"k\":{i}}}'", "ID=up{i}",
          'lang="en-US"', "novalue=", "weird..attr=1", "_bad=2",
          'p=ab="x<y"', '~x="p<q"', 'novalue= href="https://e.c/{i}"',
-         'a=b="c/d"', 'k= l= m="v>w"']
+         'a=b="c/d"', 'k= l= m="v>w"',
+         # entity-bearing attribute values: the reference runs html-entities
+         # decode on attribute access — exercise the full-WHATWG table and
+         # legacy-prefix handling through the attrs observable too
+         'title="&check; &amp; x{i}"', "alt='&NotEqualTilde;&half;'",
+         'data-e="&copyright; &notit; &nbspz"', 'v="&#x1F600;&#65;"',
+         'w="&timesb; &times x"', 'u="&bogusname; &sol;"']
 
 
 def attrs(i):
