@@ -9,10 +9,12 @@ import graft.functions.HtmlFunctions
 /** Driver contract (see /root/repo/SURVEY.md §7.4).
   *
   * Every entry in `queries` is matched by an `oracleSql` DuckDB statement
-  * over the same parquet tables, except the explicitly non-SQL-expressible
-  * ops (minhash q15, simhash q16, LSH q18, corpus goldens q26, language-ID
-  * q27, winnowing q33) which get the weaker rows-only check and are instead
-  * pinned by ScalaTest.
+  * over the same parquet tables. Sketch/heuristic ops not expressible in
+  * SQL directly (minhash q15, simhash q16, language-ID q27, winnowing q33)
+  * compare against expected-value parquet fixtures precomputed by an
+  * independent Python implementation (tools/gen_expected_fixtures.py).
+  * Only q18 (float-precision LSH re-rank) and q26 (HTML corpus goldens) get
+  * the weaker rows-only check; both are pinned by ScalaTest instead.
   *
   * HTML queries synthesize the page body deterministically from `documents`
   * with pure SQL expressions (graft.pipeline.Synth), so DuckDB can compute
@@ -124,7 +126,7 @@ object SparkEntry {
           .otherwise(0L)).as("docs_with_the"),
         sum(when(col("text").startsWith("the "), 1L).otherwise(0L)).as("docs_start_the"))),
 
-    // non-SQL-expressible dedup sketches (ScalaTest-pinned instead)
+    // dedup sketches (independent-fixture oracles + ScalaTest)
     "q15_minhash_bands" -> ((s, dir) =>
       graft.ops.Dedup.minhashBands(docs(s, dir), numHashes = 32, bands = 8)),
     "q16_simhash" -> ((s, dir) =>
