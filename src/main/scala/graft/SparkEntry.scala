@@ -227,6 +227,13 @@ object SparkEntry {
     "q33_winnow_fp" -> ((s, dir) =>
       graft.ops.TextAnalysis.fingerprints(docs(s, dir))),
 
+    "q35_minhash_candidates" -> ((s, dir) =>
+      // the full near-dup candidate pipeline (bands → capped bucket
+      // self-join → distinct pairs); the oracle reproduces it from the
+      // independent band fixture with the same cap
+      graft.ops.Dedup.minhashCandidates(docs(s, dir), numHashes = 32,
+        bands = 8, maxBucket = 10000)),
+
     "q34_css_descendant_rel" -> ((s, dir) => {
       // descendant combinators (`ul [class~=item]`, `div h3`) run RELATIONALLY:
       // explode once, then equi-join exploded ancestors — zero per-row HTML
@@ -415,6 +422,14 @@ object SparkEntry {
       "q32_unescape_native" ->
         ("SELECT doc_id, concat('<', replace(text, ' ', chr(160)), '&!&unknown;') AS decoded " +
           "FROM documents"),
+      "q35_minhash_candidates" ->
+        ("WITH b AS (SELECT d.doc_id, f.band, f.bucket FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/minhash_bands_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5), " +
+          "keep AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= 10000) " +
+          "SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2 " +
+          "FROM b a JOIN keep USING (band, bucket) JOIN b c USING (band, bucket) " +
+          "WHERE a.doc_id < c.doc_id"),
       "q34_css_descendant_rel" ->
         ("SELECT doc_id, " +
           "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 5 + 1 END AS bigint) AS n_item_desc, " +
