@@ -230,9 +230,13 @@ object SparkEntry {
     "q35_minhash_candidates" -> ((s, dir) =>
       // the full near-dup candidate pipeline (bands → capped bucket
       // self-join → distinct pairs); the oracle reproduces it from the
-      // independent band fixture with the same cap
+      // independent band fixture with the same cap. maxBucket=200 is
+      // load-bearing on this corpus: the synthetic texts are so
+      // self-similar that ONE bucket holds 52% of all docs at sf0.1 —
+      // uncapped, that's 23.6M candidate pairs (vs 183k capped), the
+      // textbook degenerate-bucket blowup the cap exists to stop.
       graft.ops.Dedup.minhashCandidates(docs(s, dir), numHashes = 32,
-        bands = 8, maxBucket = 10000)),
+        bands = 8, maxBucket = 200)),
 
     "q34_css_descendant_rel" -> ((s, dir) => {
       // descendant combinators (`ul [class~=item]`, `div h3`) run RELATIONALLY:
@@ -426,7 +430,7 @@ object SparkEntry {
         ("WITH b AS (SELECT d.doc_id, f.band, f.bucket FROM documents d " +
           "JOIN '/root/repo/tools/fixtures/minhash_bands_expected.parquet' f " +
           "ON md5(d.text) = f.text_md5), " +
-          "keep AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= 10000) " +
+          "keep AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= 200) " +
           "SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2 " +
           "FROM b a JOIN keep USING (band, bucket) JOIN b c USING (band, bucket) " +
           "WHERE a.doc_id < c.doc_id"),
