@@ -238,6 +238,12 @@ object SparkEntry {
       graft.ops.Dedup.minhashCandidates(docs(s, dir), numHashes = 32,
         bands = 8, maxBucket = 200)),
 
+    "q36_simhash_neardup" -> ((s, dir) =>
+      // pigeonhole-exact chunk banding: equi-join plan with PROVABLY 100%
+      // recall at hamming <= 3, so the brute-force O(n^2) DuckDB oracle
+      // must agree hash-for-hash with the banded Spark plan
+      graft.ops.Dedup.simhashNearDup(docs(s, dir), maxHamming = 3)),
+
     "q34_css_descendant_rel" -> ((s, dir) => {
       // descendant combinators (`ul [class~=item]`, `div h3`) run RELATIONALLY:
       // explode once, then equi-join exploded ancestors — zero per-row HTML
@@ -434,6 +440,14 @@ object SparkEntry {
           "SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2 " +
           "FROM b a JOIN keep USING (band, bucket) JOIN b c USING (band, bucket) " +
           "WHERE a.doc_id < c.doc_id"),
+      "q36_simhash_neardup" ->
+        ("WITH s AS (SELECT d.doc_id, f.simhash FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/simhash_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5) " +
+          "SELECT a.doc_id AS id1, b.doc_id AS id2, " +
+          "cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming " +
+          "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
+          "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
       "q34_css_descendant_rel" ->
         ("SELECT doc_id, " +
           "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 5 + 1 END AS bigint) AS n_item_desc, " +

@@ -146,6 +146,50 @@ object Dedup {
   /** Hamming distance between simhashes — the near-dup predicate. */
   val hamming = udf { (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b) }
 
+  /** SimHash near-dup pairs at hamming distance <= maxHamming, found by
+    * PIGEONHOLE-EXACT chunk banding: split each 64-bit simhash into
+    * `maxHamming + 1` equal-ish chunks — any pair differing in at most
+    * `maxHamming` bits must agree EXACTLY on at least one chunk, so an
+    * equi-join on (chunk index, chunk value) has 100% recall by
+    * construction (Manku et al., WWW'07). The exact hamming filter then
+    * re-ranks candidates. Scale shape: per-row map + equi-join on narrow
+    * keys — never an all-pairs scan — yet provably equivalent to one, which
+    * is what lets a brute-force O(n^2) oracle hash-check the banded plan.
+    *
+    * `maxBucket` drops degenerate chunk buckets (constant regions across
+    * the corpus). NOTE: unlike the minhash/LSH caps, dropping here SACRIFICES
+    * the exactness guarantee for members of dropped buckets — the default is
+    * effectively off; tighten only when a real corpus demands it.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+      maxBucket: Int = 1000000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64)
+    val nChunks = maxHamming + 1
+    val width = 64 / nChunks // trailing chunk absorbs the remainder bits
+    val sh = simhash(docs)
+    val chunked = sh.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nChunks).map { i =>
+        val lo = i * width
+        val hi = if (i == nChunks - 1) 64 else lo + width
+        // unsigned extract of bits [lo, hi): shift then mask
+        shiftrightunsigned(col("simhash"), lo)
+          .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L))
+          .as(s"c$i")
+      }: _*)).as(Seq("chunk", "cval")))
+    val keep = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket).select("chunk", "cval")
+    val kept = chunked.join(keep, Seq("chunk", "cval"))
+      .select("chunk", "cval", "doc_id", "simhash")
+    val a = kept.toDF("chunk", "cval", "id1", "sh1")
+    val b = kept.toDF("chunk", "cval", "id2", "sh2")
+    a.join(b, Seq("chunk", "cval"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** n-gram (shingle) Jaccard similarity between explicit candidate pairs:
     * explode shingles → join → count. `pairs` has (id1, id2).
     */

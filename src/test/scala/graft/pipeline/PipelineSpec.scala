@@ -161,6 +161,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Similarity.blockedNearDup(dup, 0.5, maxBucket = 10).count() == 0L)
   }
 
+  test("simhashNearDup chunk banding is pigeonhole-exact vs brute force") {
+    import spark.implicits._
+    // 40 docs with overlapping token windows → a spread of hamming distances
+    val docs = (0L until 40L)
+      .map(i => (i, (i to i + 50).map(j => s"tok${j % 60}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val banded = graft.ops.Dedup.simhashNearDup(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the same simhashes
+    val sh = graft.ops.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i1, h1) <- sh; (i2, h2) <- sh if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2, d)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.nonEmpty) // the fixture actually exercises the path
+  }
+
   test("pure-Column cosine (zip_with/aggregate) tracks the float32 UDF") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
