@@ -121,6 +121,57 @@ object HtmlParser {
     *      quote char inside the run (`<a ~x="p<q">`)
     *   5. stop the loop and close the tag
     */
+  /** Allocation-free fast path for the overwhelmingly common tag tail
+    * `(\s* key (\s*=\s* "quoted")? )* \s* /? >` — keys and QUOTED values
+    * only. On this strict subset the DFS is deterministic (stage 0 or 2
+    * succeeds immediately at every token and stage 5 closes the tag), so
+    * the greedy scan is provably equivalent. ANY deviation — a bare value,
+    * a junk char, an unterminated quote, running off the end — returns
+    * `false` WITHOUT deciding the match, and the caller falls back to the
+    * full backtracking DFS from the same start. Profiling: matchTagTail is
+    * the parse hot spot (≈half of samples on tag-dense pages); real-world
+    * attribute blobs hit this path ~always.
+    */
+  private def fastTagTail(data: String, start: Int, tail: TagTail): Boolean = {
+    val n = data.length
+    var p = start
+    while (true) {
+      var m = p
+      while (m < n && Js.isSpace(data.charAt(m))) m += 1
+      if (m >= n) return false
+      val c = data.charAt(m)
+      if (c == '>') {
+        tail.end = m + 1; tail.self = false; tail.blobEnd = p
+        return true
+      }
+      if (c == '/') {
+        if (m + 1 < n && data.charAt(m + 1) == '>') {
+          tail.end = m + 2; tail.self = true; tail.blobEnd = p
+          return true
+        }
+        return false // '/' not closing the tag → junk territory, use the DFS
+      }
+      if (!isAsciiLetter(c)) return false
+      var e = m + 1
+      while (e < n && AttrScanner.isNameChar(data.charAt(e))) e += 1
+      var v = e
+      while (v < n && Js.isSpace(data.charAt(v))) v += 1
+      if (v < n && data.charAt(v) == '=') {
+        v += 1
+        while (v < n && Js.isSpace(data.charAt(v))) v += 1
+        if (v >= n) return false
+        val q = data.charAt(v)
+        if (q != '"' && q != '\'') return false // bare value → DFS
+        val close = data.indexOf(q, v + 1)
+        if (close < 0) return false
+        p = close + 1
+      } else {
+        p = e // key-only attr; whatever follows is the next token
+      }
+    }
+    false // unreachable
+  }
+
   private def matchTagTail(data: String, start: Int, tail: TagTail): Boolean = {
     val n = data.length
     var failed: java.util.HashSet[Integer] = null
@@ -290,7 +341,7 @@ object HtmlParser {
           j += 1
           while (j < n && AttrScanner.isNameChar(data.charAt(j))) j += 1
           val tag = data.substring(nameStart, j)
-          if (matchTagTail(data, j, tail)) {
+          if (fastTagTail(data, j, tail) || matchTagTail(data, j, tail)) {
             tok.start = i; tok.end = tail.end; tok.isComment = false
             tok.closing = closing; tok.tag = tag
             tok.attrBlob = data.substring(j, tail.blobEnd)
