@@ -223,7 +223,7 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
     while (stack.nonEmpty) {
       stack.remove(stack.length - 1) match {
         case BlockExit =>
-          if (currentBlock.parts.nonEmpty) {
+          if (!currentBlock.isEmpty) {
             currentBlock = new Block
             blocks += currentBlock
           }
@@ -234,7 +234,7 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
             (Element.structuredTextBlocks.contains(e.tagName) ||
               Js.protoKeys.contains(e.tagName))
           if (isBlk) {
-            if (currentBlock.parts.nonEmpty) {
+            if (!currentBlock.isEmpty) {
               currentBlock = new Block
               blocks += currentBlock
             }
@@ -250,7 +250,7 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
               txt = " " + txt
               currentBlock.prependWhitespace = false
             }
-            currentBlock.parts += txt
+            currentBlock.add(txt)
           }
         case _ => // comments ignored
       }
@@ -260,7 +260,7 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
     blocks.foreach { b =>
       if (!first) sb.append('\n')
       first = false
-      sb.append(Js.collapseWs2(Js.trim(b.parts.mkString)))
+      sb.append(Js.collapseWs2(Js.trim(b.joined)))
     }
     Js.trimRight(sb.toString)
   }
@@ -523,7 +523,25 @@ private[graft] object JsonUtil {
   * flag per block array — src/index.ts:232,250).
   */
 private[kernel] final class Block {
-  val parts: ArrayBuffer[String] = ArrayBuffer.empty
+  // single-part blocks dominate real documents: keep the first part inline
+  // and allocate the spill buffer only on the second part
+  var part0: String = null
+  var rest: ArrayBuffer[String] = null
   var prependWhitespace: Boolean = false
+  def isEmpty: Boolean = part0 == null
+  def add(s: String): Unit =
+    if (part0 == null) part0 = s
+    else {
+      if (rest == null) rest = new ArrayBuffer[String](4)
+      rest += s
+    }
+  def joined: String =
+    if (part0 == null) ""
+    else if (rest == null) part0
+    else {
+      val sb = new java.lang.StringBuilder(part0)
+      rest.foreach(sb.append)
+      sb.toString
+    }
 }
 private[kernel] object BlockExit
