@@ -50,9 +50,11 @@ object Js {
     * trailing "" (Java's split drops the latter). `"".split(/\s+/) == [""]`.
     */
   def splitWs(s: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val n = s.length
     var i = 0
+    while (i < n && !isSpace(s.charAt(i))) i += 1
+    if (i == n) return Array(s) // no whitespace at all — the common case
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var segStart = 0
     while (i < n) {
       if (isSpace(s.charAt(i))) {
