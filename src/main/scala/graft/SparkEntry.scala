@@ -238,6 +238,23 @@ object SparkEntry {
       graft.ops.Dedup.minhashCandidates(docs(s, dir), numHashes = 32,
         bands = 8, maxBucket = 200)),
 
+    "q37_byte_histogram" -> ((s, dir) => {
+      // REAL multimodal feature extraction (byte-value histogram over the
+      // binary payload). Oracle-able on the ASCII subset, where UTF-8 bytes
+      // == codepoints; counts are reconstructed as exact integers
+      // (round(frac * n)) so no float32-vs-double rounding can bite.
+      val ascii = docs(s, dir)
+        .filter(length(col("text")) === length(encode(col("text"), "UTF-8")) &&
+          length(col("text")) > 0)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+          length(col("text")).as("n"))
+      graft.ops.Multimodal.byteHistogramFeatures(ascii, bins = 64)
+        .select(col("doc_id"), col("n"), posexplode(col("features")).as(Seq("bin", "frac")))
+        .filter(col("frac") > 0f)
+        .select(col("doc_id"), col("bin"),
+          round(col("frac") * col("n")).cast("long").as("cnt"))
+    }),
+
     "q36_simhash_neardup" -> ((s, dir) =>
       // pigeonhole-exact chunk banding: equi-join plan with PROVABLY 100%
       // recall at hamming <= 3, so the brute-force O(n^2) DuckDB oracle
@@ -440,6 +457,13 @@ object SparkEntry {
           "SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2 " +
           "FROM b a JOIN keep USING (band, bucket) JOIN b c USING (band, bucket) " +
           "WHERE a.doc_id < c.doc_id"),
+      "q37_byte_histogram" ->
+        ("WITH d AS (SELECT doc_id, text FROM documents " +
+          "WHERE octet_length(cast(text AS blob)) = length(text) AND length(text) > 0), " +
+          "b AS (SELECT doc_id, ascii(substr(text, cast(i AS int), 1)) // 4 AS bin " +
+          "FROM d, unnest(range(1, length(text) + 1)) AS t(i)) " +
+          "SELECT doc_id, cast(bin AS int) AS bin, count(*) AS cnt " +
+          "FROM b GROUP BY 1, 2"),
       "q36_simhash_neardup" ->
         ("WITH s AS (SELECT d.doc_id, f.simhash FROM documents d " +
           "JOIN '/root/repo/tools/fixtures/simhash_expected.parquet' f " +

@@ -161,6 +161,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Similarity.blockedNearDup(dup, 0.5, maxBucket = 10).count() == 0L)
   }
 
+  test("byte-histogram features and resize stub have exact, stable shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (1L, "aaab".getBytes("UTF-8")),      // 'a'=97 bin 24, 'b'=98 bin 24 (width 4)
+      (2L, Array.emptyByteArray),
+      (3L, Array[Byte](-1, -1, 0))          // 0xFF bin 63, 0x00 bin 0
+    ).toDF("doc_id", "payload")
+    val feats = graft.ops.Multimodal.byteHistogramFeatures(df, bins = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2)).toMap
+    assert(feats(1L)(24) == 1.0f && feats(1L).sum == 1.0f) // 97/4 == 98/4 == 24
+    assert(feats(2L).sum == 0.0f)
+    assert(math.abs(feats(3L)(63) - 2f / 3f) < 1e-6 &&
+      math.abs(feats(3L)(0) - 1f / 3f) < 1e-6)
+    val thumbs = graft.ops.Multimodal.resizeStub(df, outW = 4, outH = 4)
+      .collect().map(t => t.doc_id -> t).toMap
+    assert(thumbs.values.forall(t => t.width == 4 && t.height == 4 &&
+      t.pixels.length == 16))
+    assert(thumbs(2L).pixels.forall(_ == 0)) // empty payload → zero pixels
+    // deterministic: same payload → same thumb
+    val again = graft.ops.Multimodal.resizeStub(df, 4, 4)
+      .collect().map(t => t.doc_id -> t.pixels.toSeq).toMap
+    assert(again(1L) == thumbs(1L).pixels.toSeq)
+  }
+
   test("simhashNearDup chunk banding is pigeonhole-exact vs brute force") {
     import spark.implicits._
     // 40 docs with overlapping token windows → a spread of hamming distances
