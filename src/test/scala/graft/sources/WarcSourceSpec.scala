@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import java.io.{ByteArrayOutputStream, FileOutputStream}
+import java.util.zip.GZIPOutputStream
+import java.nio.file.Files
+
+class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[2]")
+      .appName("warc-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def record(warcType: String, uri: String, date: String,
+      block: Array[Byte]): Array[Byte] = {
+    val uriLine = if (uri == null) "" else s"WARC-Target-URI: $uri\r\n"
+    val header = s"WARC/1.0\r\nWARC-Type: $warcType\r\n$uriLine" +
+      s"WARC-Date: $date\r\nWARC-Record-ID: <urn:test:$warcType>\r\n" +
+      s"Content-Length: ${block.length}\r\n\r\n"
+    val out = new ByteArrayOutputStream()
+    out.write(header.getBytes("ISO-8859-1"))
+    out.write(block)
+    out.write("\r\n\r\n".getBytes("ISO-8859-1"))
+    out.toByteArray
+  }
+
+  private def httpResponse(body: String): Array[Byte] =
+    ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" +
+      s"Content-Length: ${body.getBytes("UTF-8").length}\r\n\r\n" + body)
+      .getBytes("UTF-8")
+
+  private val html1 = "<html><body><p>First page</p></body></html>"
+  private val html2 = "<div><p>Zwei &amp; zwei</p></div>"
+  private val html3 = "<p>bare resource</p>"
+
+  private def records: Seq[Array[Byte]] = Seq(
+    record("warcinfo", null, "2024-03-01T00:00:00Z",
+      "software: graft-test\r\n".getBytes("UTF-8")),
+    record("request", "https://a.example/one", "2024-03-01T10:00:00Z",
+      "GET /one HTTP/1.1\r\nHost: a.example\r\n\r\n".getBytes("UTF-8")),
+    record("response", "https://a.example/one", "2024-03-01T10:00:01Z",
+      httpResponse(html1)),
+    record("response", "https://b.example/two", "2024-03-01T11:30:00Z",
+      httpResponse(html2)),
+    record("resource", "https://c.example/three", "2024-03-01T12:00:00Z",
+      html3.getBytes("UTF-8")))
+
+  private def gzipMember(b: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(out)
+    gz.write(b); gz.close()
+    out.toByteArray
+  }
+
+  private def writeCorpus(): String = {
+    val dir = Files.createTempDirectory("warc_spec").toFile
+    // plain concatenated records
+    val plain = new FileOutputStream(new java.io.File(dir, "plain.warc"))
+    records.foreach(plain.write); plain.close()
+    // Common Crawl layout: one gzip member per record
+    val members = new FileOutputStream(new java.io.File(dir, "members.warc.gz"))
+    records.foreach(r => members.write(gzipMember(r))); members.close()
+    // whole-file gzip
+    val whole = new ByteArrayOutputStream()
+    records.foreach(whole.write)
+    val wf = new FileOutputStream(new java.io.File(dir, "whole.warc.gz"))
+    wf.write(gzipMember(whole.toByteArray)); wf.close()
+    dir.getAbsolutePath
+  }
+
+  test("WARC records parse to Pages across plain / member-gzip / whole-gzip") {
+    val dir = writeCorpus()
+    val pages = WarcSource.read(spark, dir).collect()
+    // 3 page-bearing records per file × 3 files
+    assert(pages.length == 9)
+    val byUrl = pages.groupBy(_.url)
+    assert(byUrl.keySet == Set("https://a.example/one", "https://b.example/two",
+      "https://c.example/three"))
+    byUrl.values.foreach(v => assert(v.length == 3)) // identical in all layouts
+    val one = byUrl("https://a.example/one").head
+    assert(new String(one.html, "UTF-8") == html1) // HTTP envelope stripped
+    assert(one.warc_ts == java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-03-01T10:00:01Z")))
+    val three = byUrl("https://c.example/three").head
+    assert(new String(three.html, "UTF-8") == html3) // resource: bare block
+    assert(one.text == null && one.lang == null)
+  }
+
+  test("WARC pages flow through the extraction pipeline") {
+    val dir = writeCorpus()
+    val parsed = WarcSource.extract(spark, dir)
+      .select("url", "parse_ok", "text_out").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getString(2)))
+    assert(parsed.length == 9)
+    assert(parsed.forall(_._2)) // all well-formed
+    assert(parsed.find(_._1 == "https://a.example/one").get._3 == "First page")
+    assert(parsed.find(_._1 == "https://b.example/two").get._3 == "Zwei & zwei")
+  }
+
+  test("malformed tails and truncated records do not derail parsing") {
+    val junk = "WARC/1.0\r\nContent-Length: oops\r\n\r\n".getBytes("UTF-8") // bad length
+    val truncated = records.head.take(20)
+    val bytes = records(2) ++ junk ++ truncated
+    val pages = WarcSource.parseWarc(bytes).toList
+    assert(pages.length == 1 && pages.head.url == "https://a.example/one")
+  }
+}
