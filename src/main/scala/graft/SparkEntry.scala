@@ -52,15 +52,23 @@ object SparkEntry {
         sum(when(col("parse_ok"), 1L).otherwise(0L)).as("parse_ok_docs"),
         sum("n_links").as("links"))
     }),
-    "q03_css_count" -> ((s, dir) =>
+    "q03_css_count" -> ((s, dir) => {
+      // native Catalyst expression — the selector count stays inside
+      // whole-stage codegen (no ScalaUDF island); UDF form remains as
+      // HtmlFunctions.cssCount for Column-API users
+      graft.functions.GraftExtensions.register(s)
       pagesDf(s, dir).select(col("doc_id"),
-        HtmlFunctions.cssCount(htmlStr, lit("li.item")).as("n_li"))),
-    "q04_css_attr_ops" -> ((s, dir) =>
+        call_function("css_count_native", htmlStr, lit("li.item")).as("n_li"))
+    }),
+    "q04_css_attr_ops" -> ((s, dir) => {
+      graft.functions.GraftExtensions.register(s)
+      def cnt(sel: String) = call_function("css_count_native", htmlStr, lit(sel))
       pagesDf(s, dir).select(col("doc_id"),
-        HtmlFunctions.cssCount(htmlStr, lit("a[href^=\"https://\"]")).as("n_https"),
-        HtmlFunctions.cssCount(htmlStr, lit("[lang=\"en\"]")).as("n_lang_en"),
-        HtmlFunctions.cssCount(htmlStr, lit("ul [class~=\"item\"]")).as("n_item"),
-        HtmlFunctions.cssCount(htmlStr, lit("[lang|=\"zh\"]")).as("n_lang_dash"))),
+        cnt("a[href^=\"https://\"]").as("n_https"),
+        cnt("[lang=\"en\"]").as("n_lang_en"),
+        cnt("ul [class~=\"item\"]").as("n_item"),
+        cnt("[lang|=\"zh\"]").as("n_lang_dash"))
+    }),
     "q05_entity_decode" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         HtmlFunctions.cssFirstText(

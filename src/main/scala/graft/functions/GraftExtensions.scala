@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.htmlUnescapeDescriptor)
+    ext.injectFunction(GraftExtensions.cssCountDescriptor)
   }
 }
 
@@ -27,9 +28,19 @@ object GraftExtensions {
       HtmlUnescape(children.head)
     })
 
+  private[functions] val cssCountDescriptor = (
+    FunctionIdentifier("css_count_native"),
+    new ExpressionInfo(classOf[HtmlCssCount].getCanonicalName, "css_count_native"),
+    (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+      require(children.length == 2,
+        s"css_count_native expects exactly 2 arguments, got ${children.length}")
+      HtmlCssCount(children.head, children(1))
+    })
+
   /** Runtime registration on an already-built session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = htmlUnescapeDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    Seq(htmlUnescapeDescriptor, cssCountDescriptor).foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
   }
 }

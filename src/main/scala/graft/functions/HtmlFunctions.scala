@@ -48,10 +48,12 @@ object HtmlFunctions extends Serializable {
     if (html == null) null else HtmlParser.parse(html).toHtml
   }
 
-  val cssCount = udf { (html: String, selector: String) =>
+  /** Shared kernel entry for the UDF and the native HtmlCssCount expression. */
+  private[functions] def cssCountKernel(html: String, selector: String): Int =
     if (html == null) 0
     else Query.querySelectorAll(HtmlParser.parse(html), compiled(selector)).length
-  }
+
+  val cssCount = udf { (html: String, selector: String) => cssCountKernel(html, selector) }
 
   /** querySelector (first match, comma parts left-to-right) decoded text. */
   val cssFirstText = udf { (html: String, selector: String) =>
