@@ -379,6 +379,16 @@ object SparkEntry {
         ("SELECT d.lang, f.lang_guess, count(*) AS docs FROM documents d " +
           "JOIN '/root/repo/tools/fixtures/langid_expected.parquet' f " +
           "ON md5(d.text) = f.text_md5 GROUP BY 1, 2"),
+      // q18's expected top-k comes from a bit-exact Python port of the LSH
+      // pipeline (hyperplane signatures, multi-probe, float32-product /
+      // double-fold cosine, HALF_UP rounding) — fixture keyed by a corpus
+      // digest the oracle recomputes from its own embeddings view
+      "q18_embed_lsh" ->
+        ("WITH k AS (SELECT md5(string_agg(cast(embedding AS varchar), '|' ORDER BY vec_id)) " +
+          "AS corpus_md5 FROM embeddings) " +
+          "SELECT f.query_id, f.rank, f.neighbor_id " +
+          "FROM '/root/repo/tools/fixtures/lsh_topk_expected.parquet' f " +
+          "JOIN k USING (corpus_md5)"),
       "q16_simhash" ->
         ("SELECT d.doc_id, f.simhash FROM documents d " +
           "JOIN '/root/repo/tools/fixtures/simhash_expected.parquet' f " +

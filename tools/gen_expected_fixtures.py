@@ -186,6 +186,93 @@ def lang_id(text):
     return best
 
 
+# ---- LSH ANN (bit-exact port of Similarity.lshTopK for the q18 oracle) ----
+
+import math
+import numpy as np
+from decimal import Decimal, ROUND_HALF_UP
+
+_LMAX = float(9223372036854775807)
+
+
+def _plane_weights(n_planes, dims):
+    """planeWeight(plane, dim): mix of two 64-bit constants -> [-1, 1) float32.
+    Long->double conversion is round-half-even in both JVM and CPython."""
+    w = np.empty((n_planes, dims), dtype=np.float32)
+    for p in range(n_planes):
+        for d in range(dims):
+            x = (p * 0x9E3779B97F4A7C15 + d * 0xC2B2AE3D27D4EB4F) & MASK
+            x ^= x >> 33
+            x = (x * 0xFF51AFD7ED558CCD) & MASK
+            x ^= x >> 33
+            w[p, d] = np.float32(float(to_signed(x)) / _LMAX)
+    return w
+
+
+def _foldl_sum(products32):
+    """Sequential left-fold double accumulation (Spark `aggregate` order —
+    NOT numpy pairwise summation)."""
+    acc = 0.0
+    for v in products32:
+        acc += float(v)
+    return acc
+
+
+def _signature(v32, w):
+    sig = 0
+    for p in range(w.shape[0]):
+        if _foldl_sum((v32 * w[p]).astype(np.float32)) >= 0:
+            sig |= 1 << p
+    return sig
+
+
+def _cos_col(a32, b32, na, nb):
+    """Similarity.cosineCol: float32 products, double left-fold, double sqrt."""
+    if na == 0.0 or nb == 0.0:
+        return 0.0
+    ab = _foldl_sum((a32 * b32).astype(np.float32))
+    return ab / math.sqrt(na * nb)
+
+
+def _round4(x):
+    """Spark round(col, 4) = java BigDecimal(double) HALF_UP at scale 4."""
+    return float(Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def lsh_topk(vecs, n_queries=8, k=3, n_planes=8, n_probes=4):
+    """vecs: dict vec_id -> np.float32 array. Returns (query_id, rank,
+    neighbor_id) rows identical to Similarity.lshTopK's output."""
+    dims = len(next(iter(vecs.values())))
+    w = _plane_weights(n_planes, dims)
+    sig = {i: _signature(v, w) for i, v in vecs.items()}
+    norm = {i: _foldl_sum((v * v).astype(np.float32)) for i, v in vecs.items()}
+    by_bucket = {}
+    for i, s in sig.items():
+        by_bucket.setdefault(s, []).append(i)
+    out = []
+    for q in sorted(vecs):
+        if q >= n_queries:
+            continue
+        probes = [sig[q]] + [sig[q] ^ (1 << p) for p in range(min(n_probes, n_planes))]
+        seen_probe = set()
+        cand = set()
+        for b in probes:
+            if b in seen_probe:
+                continue
+            seen_probe.add(b)
+            for n in by_bucket.get(b, ()):
+                if n != q:
+                    cand.add(n)
+        scored = set()
+        for n in cand:
+            c = _round4(_cos_col(vecs[q], vecs[n], norm[q], norm[n]))
+            scored.add((n, c))  # dropDuplicates(query_id, neighbor_id, c)
+        ranked = sorted(scored, key=lambda t: (-t[1], t[0]))
+        for rank, (n, _) in enumerate(ranked[:k], start=1):
+            out.append((q, rank, n))
+    return out
+
+
 def main():
     sfdirs = sys.argv[1:] or ["/root/testdata/sf0.001", "/root/testdata/sf0.01",
                               "/root/testdata/sf0.1"]
@@ -219,9 +306,27 @@ def main():
     con.execute("CREATE TABLE lg(text_md5 VARCHAR, lang_guess VARCHAR)")
     con.executemany("INSERT INTO lg VALUES (?, ?)", lang_rows)
     con.execute(f"COPY lg TO '{outdir}/langid_expected.parquet' (FORMAT PARQUET)")
-    print("wrote %s: %d texts, %d simhash, %d winnow, %d band, %d langid rows"
-          % (outdir, len(texts), len(sim_rows), len(win_rows), len(band_rows),
-             len(lang_rows)))
+    # LSH ANN expected values, keyed by a corpus digest the oracle recomputes
+    # from its own embeddings view (same count across SFs, different vectors)
+    lsh_rows = []
+    for d in sfdirs:
+        p = f"{d}/embeddings.parquet"
+        if not os.path.exists(p):
+            continue
+        corpus_md5 = con.execute(
+            "SELECT md5(string_agg(cast(embedding AS varchar), '|' ORDER BY vec_id)) "
+            f"FROM '{p}'").fetchone()[0]
+        vecs = {vid: np.array(emb, dtype=np.float32) for vid, emb in
+                con.execute(f"SELECT vec_id, embedding FROM '{p}'").fetchall()}
+        for q, rank, n in lsh_topk(vecs):
+            lsh_rows.append((corpus_md5, q, rank, n))
+    con.execute("CREATE TABLE lsh(corpus_md5 VARCHAR, query_id BIGINT, "
+                "rank INT, neighbor_id BIGINT)")
+    con.executemany("INSERT INTO lsh VALUES (?, ?, ?, ?)", lsh_rows)
+    con.execute(f"COPY lsh TO '{outdir}/lsh_topk_expected.parquet' (FORMAT PARQUET)")
+    print("wrote %s: %d texts, %d simhash, %d winnow, %d band, %d langid, "
+          "%d lsh rows" % (outdir, len(texts), len(sim_rows), len(win_rows),
+                           len(band_rows), len(lang_rows), len(lsh_rows)))
 
 
 if __name__ == "__main__":
