@@ -48,6 +48,19 @@ object TableIO {
   /** Write a bucket's data (no commit yet — the manifest is the commit
     * point and must come LAST, after any lineage/metrics writes).
     */
+  /** Training-data export sink: gzipped JSONL (one JSON object per line —
+    * the standard LLM-corpus interchange format), partitioned like the
+    * parquet layout. Spark's native JSON writer keeps this a map-only
+    * distributed write (no collect, no driver formatting); each task emits
+    * one .json.gz part.
+    */
+  def writeJsonl(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode("overwrite").option("compression", "gzip")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .json(path)
+  }
+
   def writeBucketData(df: DataFrame, table: String, bucket: Long): Unit =
     df.write.mode("overwrite").parquet(s"$table/$BucketCol=$bucket")
 

@@ -161,6 +161,21 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(graft.ops.Similarity.blockedNearDup(dup, 0.5, maxBucket = 10).count() == 0L)
   }
 
+  test("JSONL export sink round-trips and partitions") {
+    import spark.implicits._
+    val df = Seq((1L, "hello", "en"), (2L, "welt", "de"), (3L, "hi", "en"))
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("jsonl_sink").toString
+    TableIO.writeJsonl(df, dir, partitionCols = Seq("lang"))
+    val back = spark.read.json(dir)
+    assert(back.count() == 3)
+    assert(back.filter(org.apache.spark.sql.functions.col("lang") === "en").count() == 2)
+    // gzipped line-delimited parts under lang=… directories
+    val parts = new java.io.File(dir, "lang=en").listFiles()
+      .filter(_.getName.endsWith(".json.gz"))
+    assert(parts.nonEmpty)
+  }
+
   test("byte-histogram features and resize stub have exact, stable shapes") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
