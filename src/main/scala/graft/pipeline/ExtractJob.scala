@@ -94,7 +94,14 @@ object ExtractJob {
     * `parent_idx` is the node_idx of the nearest ancestor ELEMENT (-1 when
     * the parent is the document root); `ancestors` lists all ancestor
     * element indices nearest-first. The per-entry ancestor list is a shared-
-    * tail cons list during traversal, so building it is O(1) per node.
+    * tail cons list during traversal, so building it is O(1) per node —
+    * but ENCODING the rows is O(nodes × depth), which a malicious 100k-deep
+    * document turns into a multi-GB row group. `maxAncestors` caps the
+    * encoded list at the N nearest ancestors (default 64 ≫ real-world HTML
+    * depth, which is ≲ 30 even on pathological pages): descendant matches
+    * against ancestors beyond the cap are lost, matches through parents/
+    * near ancestors — the ones that exist in real markup — are unaffected.
+    * Set Int.MaxValue to disable.
     */
   final case class NodeRow(
       doc_id: Long,
@@ -107,7 +114,7 @@ object ExtractJob {
       classes: Seq[String],
       attrs: Map[String, String])
 
-  def explodeNodes(pages: DataFrame): Dataset[NodeRow] = {
+  def explodeNodes(pages: DataFrame, maxAncestors: Int = 64): Dataset[NodeRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
     val withId =
@@ -138,8 +145,10 @@ object ExtractJob {
                   }
                   b.result()
                 }
+                val encAnc = if (anc.lengthCompare(maxAncestors) <= 0) anc
+                  else anc.take(maxAncestors)
                 out += NodeRow(docId, url, idx, anc.headOption.getOrElse(-1),
-                  anc, e.tagName, e.id, e.classNames.toSeq, attrs)
+                  encAnc, e.tagName, e.id, e.classNames.toSeq, attrs)
                 val childAnc = idx :: anc
                 idx += 1
                 var j = e.childNodes.length - 1

@@ -257,6 +257,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rel == kernel.toLong && rel == 3L) // li a, li b (nested), p c — not "outside"
   }
 
+  test("explodeNodes ancestor cap bounds adversarial depth") {
+    import spark.implicits._
+    // adversarial nesting (closed, so the repair pass doesn't flatten it to
+    // root siblings); uncapped, encoded rows would be O(n²)
+    val deep = "<div>" * 5000 + "</div>" * 5000
+    val pages = Seq((1L, "u", deep.getBytes("UTF-8"))).toDF("doc_id", "url", "html")
+    val rows = ExtractJob.explodeNodes(pages, maxAncestors = 64).toDF()
+      .selectExpr("max(size(ancestors)) as m", "count(*) as n",
+        "max(parent_idx) as p").collect().head
+    assert(rows.getInt(0) == 64 && rows.getLong(1) == 5000L)
+    assert(rows.getInt(2) == 4998) // parent_idx itself is never truncated
+  }
+
   test("ngram jaccard on explicit pairs") {
     import spark.implicits._
     val docs = Seq((0L, "a b c d e"), (1L, "a b c d x")).toDF("doc_id", "text")
