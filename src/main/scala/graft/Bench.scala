@@ -18,12 +18,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // steady-state warmup: one kernel pass at the smallest SF so the first
-    // measured query doesn't absorb all JIT/classloading cost (standard
-    // bench methodology; the per-query numbers then reflect the work, not
-    // JVM startup order)
+    // steady-state warmup: one small kernel pass over the BENCH dir itself
+    // (not a hardcoded fixture path) so the first measured query doesn't
+    // absorb all JIT/classloading cost
     graft.pipeline.ExtractJob.run(
-      graft.pipeline.Synth.pages(spark, "/root/testdata/sf0.001"))
+      graft.pipeline.Synth.pages(spark, sfDir).limit(100))
       .agg(org.apache.spark.sql.functions.sum("n_nodes")).collect()
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

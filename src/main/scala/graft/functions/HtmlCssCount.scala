@@ -1,7 +1,9 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -30,12 +32,37 @@ case class HtmlCssCount(left: Expression, right: Expression)
       s"css_count requires (string, string), got " +
         s"(${left.dataType.sql}, ${right.dataType.sql})")
 
-  override protected def nullSafeEval(html: Any, sel: Any): Any =
-    HtmlCssCount.count(html.asInstanceOf[UTF8String], sel.asInstanceOf[UTF8String])
+  // null HTML counts 0 matches (mirrors HtmlFunctions.cssCount's kernel
+  // null branch — the default null-intercepting BinaryExpression eval would
+  // return NULL and silently disagree with the UDF surface); a null
+  // selector stays NULL.
+  override def nullable: Boolean = right.nullable
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (h, s) =>
-      s"graft.functions.HtmlCssCount.count($h, $s)")
+  override def eval(input: InternalRow): Any = {
+    val sel = right.eval(input)
+    if (sel == null) null
+    else {
+      val html = left.eval(input)
+      if (html == null) 0
+      else HtmlCssCount.count(html.asInstanceOf[UTF8String],
+        sel.asInstanceOf[UTF8String])
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val htmlGen = left.genCode(ctx)
+    val selGen = right.genCode(ctx)
+    ev.copy(code = code"""
+      ${selGen.code}
+      boolean ${ev.isNull} = ${selGen.isNull};
+      int ${ev.value} = 0;
+      if (!${ev.isNull}) {
+        ${htmlGen.code}
+        if (!${htmlGen.isNull}) {
+          ${ev.value} = graft.functions.HtmlCssCount.count(${htmlGen.value}, ${selGen.value});
+        }
+      }""")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): HtmlCssCount =

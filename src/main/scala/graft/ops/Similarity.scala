@@ -143,10 +143,17 @@ object Similarity {
     * embedding[d] >= 0). Stays in whole-stage codegen and is exactly
     * reproducible in the DuckDB oracle, unlike the mixed-weight hyperplanes.
     */
-  def signBlock(embCol: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column =
+  def signBlock(embCol: org.apache.spark.sql.Column, dims: Int): org.apache.spark.sql.Column = {
+    require(dims >= 1 && dims <= 31, s"signBlock dims must be in [1, 31], got $dims")
     (0 until dims).map { d =>
-      when(element_at(embCol, d + 1) >= 0f, 1 << d).otherwise(0)
+      val e = element_at(embCol, d + 1)
+      // a missing/NULL dimension yields a NULL block key, so the row drops
+      // out of the candidate join — exactly what the DuckDB oracle's
+      // (embedding[d+1] >= 0)::int arithmetic does with NULL
+      when(e.isNull, lit(null).cast("int"))
+        .when(e >= 0f, 1 << d).otherwise(0)
     }.reduce(_ + _)
+  }
 
   /** Embedding-cosine near-dup pairs at scale: candidates share the
     * sign-quantization block (equi-join on the block key — shuffle-bounded,

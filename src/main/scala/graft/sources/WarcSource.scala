@@ -40,9 +40,17 @@ object WarcSource {
       private def advance(): Page = {
         while (pos < data.length) {
           val rec = parseRecord(data, pos)
-          if (rec == null) { pos = data.length; return null }
-          pos = rec.next
-          if (rec.page != null) return rec.page
+          if (rec == null) {
+            // malformed record (bad Content-Length, oversized header, junk):
+            // RESYNC at the next "WARC/" magic instead of silently dropping
+            // the rest of a 1 GB shard — one corrupt record costs one record
+            val resync = indexOfBytes(data, "\r\nWARC/", pos + 1, data.length)
+            if (resync < 0) { pos = data.length; return null }
+            pos = resync + 2
+          } else {
+            pos = rec.next
+            if (rec.page != null) return rec.page
+          }
         }
         null
       }

@@ -52,7 +52,8 @@ object ExtractStream {
     import spark.implicits._
     val withHost = parsed.toDF()
       .withWatermark("warc_ts", "10 minutes")
-      .withColumn("host", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("host",
+        regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
       .select(col("host"), col("warc_ts"), col("parse_ok"), col("n_bytes"))
       .as[(String, java.sql.Timestamp, Boolean, Int)]
 

@@ -113,4 +113,12 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val pages = WarcSource.parseWarc(bytes).toList
     assert(pages.length == 1 && pages.head.url == "https://a.example/one")
   }
+
+  test("a corrupt record mid-file costs one record, not the rest of the shard") {
+    val junk = "WARC/1.0\r\nContent-Length: oops\r\n\r\n".getBytes("UTF-8")
+    val bytes = records(2) ++ junk ++ records(3)
+    val pages = WarcSource.parseWarc(bytes).toList
+    // resync at the next WARC/ magic recovers the record after the junk
+    assert(pages.map(_.url) == List("https://a.example/one", "https://b.example/two"))
+  }
 }

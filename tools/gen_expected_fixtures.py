@@ -235,8 +235,11 @@ def _cos_col(a32, b32, na, nb):
 
 
 def _round4(x):
-    """Spark round(col, 4) = java BigDecimal(double) HALF_UP at scale 4."""
-    return float(Decimal(x).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+    """Spark round(col, 4) on DoubleType = BigDecimal.valueOf(x) (which goes
+    through Double.toString's SHORTEST decimal repr) then HALF_UP at scale 4.
+    Decimal(repr(x)) reproduces that; Decimal(x) (exact binary expansion)
+    diverges on ~5% of 5-decimal half boundaries (e.g. 0.00015)."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
 
 def lsh_topk(vecs, n_queries=8, k=3, n_planes=8, n_probes=4):
