@@ -344,7 +344,8 @@ object HtmlParser {
           if (fastTagTail(data, j, tail) || matchTagTail(data, j, tail)) {
             tok.start = i; tok.end = tail.end; tok.isComment = false
             tok.closing = closing; tok.tag = tag
-            tok.attrBlob = data.substring(j, tail.blobEnd)
+            tok.attrBlob =
+              if (tail.blobEnd == j) "" else data.substring(j, tail.blobEnd)
             tok.self = tail.self
             return tok
           }

@@ -114,6 +114,26 @@ class WarcSourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pages.length == 1 && pages.head.url == "https://a.example/one")
   }
 
+  test("seeded byte-mutation fuzz: parser always terminates, never throws") {
+    val rng = new scala.util.Random(20260816L)
+    val base = {
+      val out = new ByteArrayOutputStream()
+      records.foreach(out.write)
+      out.toByteArray
+    }
+    (1 to 200).foreach { _ =>
+      val mutated = base.clone()
+      (1 to rng.nextInt(8) + 1).foreach { _ =>
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      }
+      // must terminate and yield only well-formed pages — count is free to
+      // vary (mutations can corrupt framing), crashing or hanging is not
+      val pages = WarcSource.parseWarc(mutated).toList
+      assert(pages.size <= 4)
+      pages.foreach(p => assert(p.url != null && p.html != null))
+    }
+  }
+
   test("a corrupt record mid-file costs one record, not the rest of the shard") {
     val junk = "WARC/1.0\r\nContent-Length: oops\r\n\r\n".getBytes("UTF-8")
     val bytes = records(2) ++ junk ++ records(3)
