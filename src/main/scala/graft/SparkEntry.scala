@@ -246,6 +246,13 @@ object SparkEntry {
       graft.ops.Dedup.minhashCandidates(docs(s, dir), numHashes = 32,
         bands = 8, maxBucket = 200)),
 
+    "q38_neardup_clusters" -> ((s, dir) =>
+      // the dedup endgame: minhash candidates → connected components;
+      // cluster_id = smallest reachable doc_id. Oracle recomputes the same
+      // components with a recursive CTE over the fixture-derived pairs.
+      graft.ops.Dedup.nearDupClusters(docs(s, dir), numHashes = 32,
+        bands = 8, maxBucket = 200)),
+
     "q37_byte_histogram" -> ((s, dir) => {
       // REAL multimodal feature extraction (byte-value histogram over the
       // binary payload). Oracle-able on the ASCII subset, where UTF-8 bytes
@@ -475,6 +482,19 @@ object SparkEntry {
           "SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2 " +
           "FROM b a JOIN keep USING (band, bucket) JOIN b c USING (band, bucket) " +
           "WHERE a.doc_id < c.doc_id"),
+      "q38_neardup_clusters" ->
+        ("WITH RECURSIVE b AS (SELECT d.doc_id, f.band, f.bucket FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/minhash_bands_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5), " +
+          "keep AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= 200), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2 " +
+          "FROM b a JOIN keep USING (band, bucket) JOIN b c USING (band, bucket) " +
+          "WHERE a.doc_id < c.doc_id), " +
+          "e AS (SELECT id1 AS src, id2 AS dst FROM cand " +
+          "UNION ALL SELECT id2, id1 FROM cand), " +
+          "r(id, label) AS (SELECT doc_id, doc_id FROM documents " +
+          "UNION SELECT e.dst, r.label FROM r JOIN e ON r.id = e.src) " +
+          "SELECT id AS doc_id, min(label) AS cluster_id FROM r GROUP BY id"),
       "q37_byte_histogram" ->
         ("WITH d AS (SELECT doc_id, text FROM documents " +
           "WHERE octet_length(cast(text AS blob)) = length(text) AND length(text) > 0), " +

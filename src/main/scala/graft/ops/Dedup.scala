@@ -107,6 +107,52 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Connected components over near-dup candidate pairs — the step that
+    * actually deduplicates a corpus (each cluster keeps one canonical doc).
+    * Pregel-style min-label propagation: every node's label converges to the
+    * smallest doc_id reachable through candidate edges; rounds = component
+    * diameter (near-dup clusters are dense, so typically 2–4). Each round is
+    * one equi-join + one partial-aggregated groupBy — shuffle-on-key, no
+    * driver-side graph. `ids` must contain every doc (singletons cluster as
+    * themselves).
+    */
+  def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .cache()
+    var labels = ids.select(col("doc_id").as("id"))
+      .withColumn("label", col("id")).cache()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val nbrMin = edges.join(labels, col("src") === col("id"))
+        .groupBy(col("dst")).agg(min("label").as("nmin"))
+      val step = labels.join(nbrMin, col("id") === col("dst"), "left")
+        .select(col("id"), col("label"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("next"))
+        .cache()
+      changed = step.filter(col("next") < col("label")).count()
+      val prev = labels
+      labels = step.select(col("id"), col("next").as("label")).cache()
+      labels.count() // materialize before dropping the previous iteration
+      prev.unpersist()
+      step.unpersist()
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** MinHash near-dup clusters end to end: bands → capped candidates →
+    * connected components.
+    */
+  def nearDupClusters(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 10000): DataFrame =
+    clustersFromPairs(docs.select("doc_id"),
+      minhashCandidates(docs, numHashes, bands, maxBucket))
+
   /** Audit surface for the candidate-join cap: (band, bucket, n) for every
     * bucket whose population exceeds `maxBucket` — the buckets
     * minhashCandidates would exclude.

@@ -118,6 +118,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!cands.contains((0L, 2L)) && !cands.contains((1L, 2L)))
   }
 
+  test("near-dup clustering: min-label components over candidate pairs") {
+    import spark.implicits._
+    // components {1,2,3} (chain), {7,9}, singleton 5
+    val ids = Seq(1L, 2L, 3L, 5L, 7L, 9L).toDF("doc_id")
+    val pairs = Seq((2L, 3L), (1L, 2L), (7L, 9L)).toDF("id1", "id2")
+    val got = graft.ops.Dedup.clustersFromPairs(ids, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 7L -> 7L, 9L -> 7L))
+    // end-to-end: identical texts cluster together under the full pipeline
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (12L, "totally different content with other words entirely here"))
+      .toDF("doc_id", "text")
+    val c = graft.ops.Dedup.nearDupClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c(10L) == c(11L) && c(12L) != c(10L))
+  }
+
   test("hot-bucket cap stops degenerate buckets going quadratic") {
     import spark.implicits._
     // 1,000 identical docs: every (band, bucket) holds all 1,000 ids — the
