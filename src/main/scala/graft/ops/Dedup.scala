@@ -161,13 +161,64 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
-  /** MinHash near-dup clusters end to end: bands → capped candidates →
-    * connected components.
+  /** Connected components over a bipartite doc↔bucket membership table —
+    * the scale-correct formulation for LSH clustering: a bucket of k docs
+    * contributes k membership edges instead of k(k-1)/2 candidate pairs, so
+    * the edge table stays LINEAR in the corpus no matter how dense the
+    * near-dup structure is. Components are identical to the pairwise
+    * formulation (a bucket's docs form a clique either way). One round =
+    * doc→bucket min + bucket→doc min (exactly one pair-graph hop) + pointer
+    * jump.
+    */
+  def clustersFromMemberships(ids: DataFrame, memberships: DataFrame,
+      maxIter: Int = 50): DataFrame = {
+    val member = memberships.select(col("doc_id").as("mid"), col("bucket_key"))
+      .cache()
+    var labels = ids.select(col("doc_id").as("id"))
+      .withColumn("label", col("id")).cache()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val bucketMin = member.join(labels, col("mid") === col("id"))
+        .groupBy(col("bucket_key")).agg(min("label").as("bmin"))
+      val docMin = member.join(bucketMin, "bucket_key")
+        .groupBy(col("mid")).agg(min("bmin").as("nmin"))
+      val hopped = labels.join(docMin, col("id") === col("mid"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val byId = hopped.select(col("id").as("jid"), col("label").as("jlabel"))
+      val next = hopped.join(byId, hopped("label") === byId("jid"), "left")
+        .select(hopped("id"),
+          coalesce(col("jlabel"), hopped("label")).as("label"))
+        .cache()
+      val s = labelSum(next)
+      val prev = labels
+      labels = next
+      prev.unpersist()
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      iter += 1
+    }
+    member.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** MinHash near-dup clusters end to end: bands → hot-bucket cap →
+    * bipartite connected components (candidate PAIRS are never
+    * materialized — clustering doesn't need them).
     */
   def nearDupClusters(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
-      maxBucket: Int = 10000): DataFrame =
-    clustersFromPairs(docs.select("doc_id"),
-      minhashCandidates(docs, numHashes, bands, maxBucket))
+      maxBucket: Int = 10000): DataFrame = {
+    val b = minhashBands(docs, numHashes, bands)
+    val keep = b.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") <= maxBucket).select("band", "bucket")
+    val kept = b.join(keep, Seq("band", "bucket"))
+      .select(col("doc_id"), struct(col("band"), col("bucket")).as("bucket_key"))
+    clustersFromMemberships(docs.select("doc_id"), kept)
+  }
 
   /** Audit surface for the candidate-join cap: (band, bucket, n) for every
     * bucket whose population exceeds `maxBucket` — the buckets
