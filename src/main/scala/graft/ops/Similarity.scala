@@ -131,7 +131,9 @@ object Similarity {
       // binds this query (rows-only + planted-twin specs)
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cosineCol(col("q_embedding"), col("embedding")), 4).as("c"))
-      .dropDuplicates("query_id", "neighbor_id", "c")
+    // no dedup needed: each corpus vector owns exactly ONE bucket and the
+    // probe list is distinct, so a (query, neighbor) pair meets at most once
+    // in the equi-join — a dropDuplicates here would only add an exchange
     val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
