@@ -186,14 +186,17 @@ object SparkEntry {
     "q24_topk_users" -> ((s, dir) => {
       val counts = events(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
       // orderBy+limit plans TakeOrderedAndProject (per-partition top-k +
-      // driver merge) — no single-partition WindowExec over the unbounded
-      // aggregate. Rank is derived AFTER the limit over k=5 rows: one sorted
-      // partition, so the per-partition record counter IS the rank — no
-      // window operator anywhere in the plan.
+      // driver merge) — no WindowExec over the unbounded aggregate. Rank is
+      // derived AFTER the limit via row_number over the k=5 rows: fully
+      // determined by the window's ORDER BY, no physical-ordering
+      // assumption an optimizer change could break. The window partitions
+      // on pmod(user_id, 1) — constantly 0, but opaque to the optimizer, so
+      // it never degenerates into the unpartitioned-window shape; the
+      // window runs over one tiny 5-row partition either way.
       counts.orderBy(col("cnt").desc, col("user_id")).limit(5)
-        .coalesce(1)
-        .sortWithinPartitions(col("cnt").desc, col("user_id"))
-        .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+        .withColumn("rank",
+          row_number().over(Window.partitionBy(pmod(col("user_id"), lit(1)))
+            .orderBy(col("cnt").desc, col("user_id"))))
         .select("rank", "user_id", "cnt")
     }),
     "q25_star_join" -> ((s, dir) =>
@@ -275,6 +278,45 @@ object SparkEntry {
       // recall at hamming <= 3, so the brute-force O(n^2) DuckDB oracle
       // must agree hash-for-hash with the banded Spark plan
       graft.ops.Dedup.simhashNearDup(docs(s, dir), maxHamming = 3)),
+
+    "q39_dedup_materialize" -> ((s, dir) => {
+      // the dedup ENDGAME made concrete: cluster (q38's pipeline), then
+      // MATERIALIZE the deduplicated corpus — one canonical survivor per
+      // cluster (doc_id == cluster_id), annotated with how many docs it
+      // absorbed. This is the operator every training-data pipeline ends
+      // with; the oracle re-derives survivors + sizes from the same
+      // recursive-CTE components as q38.
+      val d = docs(s, dir)
+      val clusters = graft.ops.Dedup.nearDupClusters(d, numHashes = 32,
+        bands = 8, maxBucket = 200)
+      graft.ops.Dedup.dedupCorpus(d, clusters)
+        .select("doc_id", "lang", "cluster_size")
+    }),
+
+    "q40_warc_roundtrip" -> ((s, dir) => {
+      // the WARC path under the driver gate: synthesize the pages table
+      // into real .warc.gz shards (CC layout, one gzip member per record,
+      // HTTP envelopes), then stream-read them back and run the FULL
+      // extraction kernel. Output is (doc_id, text_out) — byte-identical
+      // extracted text per url — so the oracle is exactly q01's: any
+      // corruption in the WARC writer, the streaming record parser, the
+      // envelope stripping, or the gzip framing breaks the hash.
+      val tmp = s"/tmp/graft_q40_warc_${Integer.toHexString(dir.hashCode)}"
+      graft.sources.WarcSource.write(
+        pagesDf(s, dir).repartition(8, col("doc_id")), tmp)
+      graft.sources.WarcSource.extract(s, tmp)
+        .select(regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
+          .as("doc_id"), col("text_out"))
+    }),
+
+    "q41_host_sessions" -> ((s, dir) =>
+      // batch twin of the stateful-streaming hostSessions: same gap-based
+      // session semantics over the extracted corpus, expressed as window
+      // functions — the oracle-checked replay of what
+      // ExtractStream.hostSessions computes incrementally with
+      // flatMapGroupsWithState
+      graft.streaming.ExtractStream.hostSessionsBatch(
+        ExtractJob.run(pagesDf(s, dir)).toDF(), gapSec = 3600L)),
 
     "q34_css_descendant_rel" -> ((s, dir) => {
       // descendant combinators (`ul [class~=item]`, `div h3`) run RELATIONALLY:
@@ -495,6 +537,42 @@ object SparkEntry {
           "r(id, label) AS (SELECT doc_id, doc_id FROM documents " +
           "UNION SELECT e.dst, r.label FROM r JOIN e ON r.id = e.src) " +
           "SELECT id AS doc_id, min(label) AS cluster_id FROM r GROUP BY id"),
+      "q39_dedup_materialize" ->
+        ("WITH RECURSIVE b AS (SELECT d.doc_id, f.band, f.bucket FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/minhash_bands_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5), " +
+          "keep AS (SELECT band, bucket FROM b GROUP BY 1, 2 HAVING count(*) <= 200), " +
+          "cand AS (SELECT DISTINCT a.doc_id AS id1, c.doc_id AS id2 " +
+          "FROM b a JOIN keep USING (band, bucket) JOIN b c USING (band, bucket) " +
+          "WHERE a.doc_id < c.doc_id), " +
+          "e AS (SELECT id1 AS src, id2 AS dst FROM cand " +
+          "UNION ALL SELECT id2, id1 FROM cand), " +
+          "r(id, label) AS (SELECT doc_id, doc_id FROM documents " +
+          "UNION SELECT e.dst, r.label FROM r JOIN e ON r.id = e.src), " +
+          "comp AS (SELECT id AS doc_id, min(label) AS cluster_id FROM r GROUP BY id), " +
+          "sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1) " +
+          "SELECT d.doc_id, d.lang, sz.cluster_size FROM documents d " +
+          "JOIN comp c ON d.doc_id = c.doc_id AND c.doc_id = c.cluster_id " +
+          "JOIN sz ON c.cluster_id = sz.cluster_id"),
+      // q40 is q01's oracle verbatim: the WARC write→read→extract roundtrip
+      // must reproduce byte-identical extracted text per url
+      "q40_warc_roundtrip" ->
+        (s"SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN $trimmed " +
+          s"ELSE concat($trimmed, chr(10), repeat(concat(lang, chr(10)), cast(doc_id % 5 + 1 AS int)), 'link') END AS text_out " +
+          "FROM documents"),
+      "q41_host_sessions" ->
+        ("WITH p AS (SELECT doc_id, " +
+          "concat('host-', CASE WHEN doc_id % 2 = 0 THEN '0' ELSE cast(doc_id % 50 AS varchar) END, '.example') AS host, " +
+          "1704067200 + (doc_id * 3607) % 864000 AS epoch, " +
+          "CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS err, " +
+          s"octet_length(cast($fullHtml AS blob)) AS nb FROM documents), " +
+          "x AS (SELECT *, lag(epoch) OVER (PARTITION BY host ORDER BY epoch) AS prev FROM p), " +
+          "y AS (SELECT *, CASE WHEN prev IS NULL OR epoch - prev > 3600 THEN 1 ELSE 0 END AS ns FROM x), " +
+          "z AS (SELECT *, cast(sum(ns) OVER (PARTITION BY host ORDER BY epoch " +
+          "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bigint) AS session_seq FROM y) " +
+          "SELECT host, session_seq, count(*) AS docs, cast(sum(err) AS bigint) AS errors, " +
+          "cast(sum(nb) AS bigint) AS bytes, cast(min(epoch) AS bigint) AS start_epoch, " +
+          "cast(max(epoch) AS bigint) AS end_epoch FROM z GROUP BY 1, 2"),
       "q37_byte_histogram" ->
         ("WITH d AS (SELECT doc_id, text FROM documents " +
           "WHERE octet_length(cast(text AS blob)) = length(text) AND length(text) > 0), " +

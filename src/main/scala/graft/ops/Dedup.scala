@@ -248,6 +248,39 @@ object Dedup {
     clustersFromMemberships(docs.select("doc_id"), kept)
   }
 
+  /** The dedup ENDGAME: materialize the deduplicated corpus. Keeps exactly
+    * one canonical doc per cluster — the one whose doc_id equals the
+    * cluster_id (min-label components guarantee the cluster_id IS a member's
+    * doc_id, so every cluster keeps exactly one survivor) — and annotates it
+    * with `cluster_size` (1 = the doc was unique) so downstream sampling /
+    * weighting can see how much mass each survivor represents.
+    *
+    * Scale shape: the canonical set is derived from the skinny (doc_id,
+    * cluster_id) table with one groupBy, then a single equi-join against the
+    * corpus on doc_id — the corpus shuffles once (zero times if it is
+    * already bucketed by doc_id). No driver-side state.
+    */
+  def dedupCorpus(docs: DataFrame, clusters: DataFrame): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id")
+      .agg(count(lit(1)).as("cluster_size"))
+    val canon = clusters.filter(col("doc_id") === col("cluster_id"))
+      .join(sizes, "cluster_id")
+      .select(col("doc_id"), col("cluster_size"))
+    docs.join(canon, "doc_id")
+  }
+
+  /** One-row drop-stats summary of a clustering: how much the dedup pass
+    * removed and how it was distributed (the numbers a pipeline operator
+    * checks before committing a destructive materialization).
+    */
+  def dedupStats(clusters: DataFrame): DataFrame =
+    clusters.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("cluster_id")).as("n_kept"),
+      (count(lit(1)) - countDistinct(col("cluster_id"))).as("n_dropped"),
+      sum(when(col("doc_id") =!= col("cluster_id"), 1L).otherwise(0L))
+        .as("n_non_canonical"))
+
   /** Audit surface for the candidate-join cap: (band, bucket, n) for every
     * bucket whose population exceeds `maxBucket` — the buckets
     * minhashCandidates would exclude.
@@ -297,33 +330,60 @@ object Dedup {
     * keys — never an all-pairs scan — yet provably equivalent to one, which
     * is what lets a brute-force O(n^2) oracle hash-check the banded plan.
     *
-    * `maxBucket` drops degenerate chunk buckets (constant regions across
-    * the corpus). NOTE: unlike the minhash/LSH caps, dropping here SACRIFICES
-    * the exactness guarantee for members of dropped buckets — the default is
-    * effectively off; tighten only when a real corpus demands it.
+    * `maxBucket` handles degenerate chunk buckets (constant hash regions
+    * across the corpus) WITHOUT sacrificing exactness: members of an
+    * over-cap bucket are re-bucketed by a SECOND pigeonhole over a
+    * boundary-shifted (rotated) chunking of the same hash. Any partition of
+    * all 64 bits into maxHamming+1 parts satisfies the pigeonhole argument,
+    * so two members of a hot bucket at hamming <= maxHamming must also
+    * agree on at least one rotated chunk — the pair survives in a
+    * (bucket, rotated-chunk) sub-bucket and recall stays 100%. Sub-buckets
+    * are joined in full: a bucket that is degenerate under BOTH chunkings
+    * holds genuinely near-identical hashes, whose quadratic pair set is the
+    * semantically correct output (cluster via [[clustersFromMemberships]]
+    * when materializing those pairs is not wanted).
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
       maxBucket: Int = 1000000): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64)
     val nChunks = maxHamming + 1
     val width = 64 / nChunks // trailing chunk absorbs the remainder bits
+    import org.apache.spark.sql.Column
+    // unsigned extract of bits [lo, hi) of `src`, one column per chunk
+    def chunkCols(src: Column): Seq[Column] = (0 until nChunks).map { i =>
+      val lo = i * width
+      val hi = if (i == nChunks - 1) 64 else lo + width
+      shiftrightunsigned(src, lo)
+        .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L))
+    }
     val sh = simhash(docs)
     val chunked = sh.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until nChunks).map { i =>
-        val lo = i * width
-        val hi = if (i == nChunks - 1) 64 else lo + width
-        // unsigned extract of bits [lo, hi): shift then mask
-        shiftrightunsigned(col("simhash"), lo)
-          .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L))
-          .as(s"c$i")
-      }: _*)).as(Seq("chunk", "cval")))
-    val keep = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("__bn"))
-      .filter(col("__bn") <= maxBucket).select("chunk", "cval")
-    val kept = chunked.join(keep, Seq("chunk", "cval"))
-      .select("chunk", "cval", "doc_id", "simhash")
-    val a = kept.toDF("chunk", "cval", "id1", "sh1")
-    val b = kept.toDF("chunk", "cval", "id2", "sh2")
-    a.join(b, Seq("chunk", "cval"))
+      posexplode(array(chunkCols(col("simhash")): _*)).as(Seq("chunk", "cval")))
+    val counts = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("__bn"))
+    // under-cap buckets join directly; sub = -1 keeps their keys disjoint
+    // from the split level below
+    val small = chunked
+      .join(counts.filter(col("__bn") <= maxBucket).select("chunk", "cval"),
+        Seq("chunk", "cval"))
+      .select(col("chunk"), col("cval"), lit(-1).as("sub"),
+        lit(0L).as("subval"), col("doc_id"), col("simhash"))
+    // over-cap buckets: second-level pigeonhole over a rotated chunking
+    // (boundaries shifted by width/2 bits — still a partition of all 64
+    // bits, so the recall argument applies verbatim)
+    val rot = math.max(1, width / 2)
+    val rotated = shiftleft(col("simhash"), rot)
+      .bitwiseOR(shiftrightunsigned(col("simhash"), 64 - rot))
+    val hotSub = chunked
+      .join(counts.filter(col("__bn") > maxBucket).select("chunk", "cval"),
+        Seq("chunk", "cval"))
+      .select(col("chunk"), col("cval"), col("doc_id"), col("simhash"),
+        posexplode(array(chunkCols(rotated): _*)).as(Seq("sub", "subval")))
+      .select(col("chunk"), col("cval"), col("sub"), col("subval"),
+        col("doc_id"), col("simhash"))
+    val kept = small.union(hotSub)
+    val a = kept.toDF("chunk", "cval", "sub", "subval", "id1", "sh1")
+    val b = kept.toDF("chunk", "cval", "sub", "subval", "id2", "sh2")
+    a.join(b, Seq("chunk", "cval", "sub", "subval"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"),
         bit_count(col("sh1").bitwiseXOR(col("sh2"))).cast("int").as("hamming"))

@@ -66,19 +66,70 @@ object ExtractStream {
         Iterator.single(HostSession(host, s.docs, s.errors, s.bytes,
           new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs)))
       } else {
-        var s = state.getOption.getOrElse(HostState(0L, 0L, 0L, Long.MaxValue, 0L))
-        rows.foreach { case (_, ts, ok, bytes) =>
+        // gap splits are enforced on EVENT TIME within the batch too, not
+        // only via the state timeout: a burst delivered in one micro-batch
+        // can span several sessions, and merging them (the naive
+        // accumulate-only update) diverges from the gap semantics the batch
+        // twin `hostSessionsBatch` — and any SQL replay — computes. Rows
+        // are sorted by event time first (micro-batch iterators carry no
+        // order guarantee); the buffer is one host's slice of one
+        // micro-batch, so it is small by construction.
+        val empty = HostState(0L, 0L, 0L, Long.MaxValue, 0L)
+        var s = state.getOption.getOrElse(empty)
+        val out = scala.collection.mutable.ArrayBuffer.empty[HostSession]
+        rows.toArray.sortBy(_._2.getTime).foreach { case (_, ts, ok, bytes) =>
           val t = ts.getTime
+          if (s.docs > 0 && t - s.lastTs > gapMs) {
+            out += HostSession(host, s.docs, s.errors, s.bytes,
+              new java.sql.Timestamp(s.firstTs), new java.sql.Timestamp(s.lastTs))
+            s = empty
+          }
           s = HostState(s.docs + 1, s.errors + (if (ok) 0L else 1L),
             s.bytes + bytes, math.min(s.firstTs, t), math.max(s.lastTs, t))
         }
         state.update(s)
         state.setTimeoutTimestamp(s.lastTs + gapMs)
-        Iterator.empty
+        out.iterator
       }
     }
 
     withHost.groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+
+  /** BATCH twin of [[hostSessions]]: identical session semantics (a host's
+    * pages belong to one session until a gap longer than `gapSec` separates
+    * them) expressed as window functions over the finished corpus — the
+    * oracle-checkable replay of what the stateful stream computes
+    * incrementally. Emits one row per (host, session): doc/error/byte
+    * counts plus start/end EPOCHS (bigint, hash-stable across engines).
+    *
+    * Plan shape: one exchange on host feeds both window functions AND the
+    * final aggregate (hash-partitioning on host satisfies the
+    * (host, session_seq) clustering), so sessionizing 10^12 docs costs a
+    * single shuffle of the skinny projection.
+    */
+  def hostSessionsBatch(parsed: DataFrame, gapSec: Long = 600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy("warc_ts")
+    parsed
+      .withColumn("host",
+        regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
+      .select(col("host"), col("warc_ts"), col("parse_ok"), col("n_bytes"))
+      .withColumn("prev_ts", lag(col("warc_ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("warc_ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("host", "session_seq")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("errors"),
+        sum(col("n_bytes").cast("long")).as("bytes"),
+        min(unix_timestamp(col("warc_ts"))).as("start_epoch"),
+        max(unix_timestamp(col("warc_ts"))).as("end_epoch"))
   }
 }

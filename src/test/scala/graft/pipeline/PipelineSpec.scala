@@ -378,4 +378,80 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val h2 = p2.agg(sum(crc32(col("html")))).collect().head.getLong(0)
     assert(h1 == h2)
   }
+
+  test("dedupCorpus materializes one canonical survivor per cluster") {
+    import spark.implicits._
+    val docs = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta", "en"),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta", "de"),
+      (12L, "totally different content with other words entirely here", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val clusters = graft.ops.Dedup.nearDupClusters(docs)
+    val kept = graft.ops.Dedup.dedupCorpus(docs, clusters).collect()
+    // identical texts collapse to the min doc_id; the unique doc survives
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == Set(10L, 12L))
+    val sz = kept.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(sz(10L) == 3L && sz(12L) == 1L)
+    // survivors keep their corpus columns intact
+    assert(kept.find(_.getAs[Long]("doc_id") == 10L).get
+      .getAs[String]("lang") == "en")
+    val stats = graft.ops.Dedup.dedupStats(clusters).collect().head
+    assert(stats.getAs[Long]("n_docs") == 4L)
+    assert(stats.getAs[Long]("n_kept") == 2L)
+    assert(stats.getAs[Long]("n_dropped") == 2L)
+    assert(stats.getAs[Long]("n_non_canonical") == 2L)
+  }
+
+  test("clustering rejects duplicate doc_ids instead of corrupting components") {
+    import spark.implicits._
+    val dupIds = Seq(1L, 1L, 2L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.clustersFromPairs(dupIds, pairs)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.clustersFromMemberships(dupIds,
+        Seq((1L, "b")).toDF("doc_id", "bucket_key"))
+    }
+  }
+
+  test("simhash cap split preserves exact recall with the cap forced low") {
+    import spark.implicits._
+    // 12 identical docs — one degenerate bucket under EVERY chunking, so
+    // their 66 hamming-0 pairs can only survive the cap via the second-level
+    // split — plus 40 overlapping-window docs for a spread of distances
+    val hot = (100L until 112L).map(i => (i, "same text every time"))
+    val varied = (0L until 40L)
+      .map(i => (i, (i to i + 50).map(j => s"tok${j % 60}").mkString(" ")))
+    val docs = (hot ++ varied).toDF("doc_id", "text")
+    val banded = graft.ops.Dedup.simhashNearDup(docs, maxHamming = 3,
+      maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sh = graft.ops.Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (i1, h1) <- sh; (i2, h2) <- sh if i1 < i2
+      d = java.lang.Long.bitCount(h1 ^ h2) if d <= 3
+    } yield (i1, i2, d)).toSet
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+    assert(brute.size >= 66) // the hot clique's pairs are all present
+  }
+
+  test("lshTopK recall vs the exact scan (independent quality check)") {
+    import spark.implicits._
+    // generic (non-planted) vectors: the q18 fixture is a regression pin of
+    // the same construction, so THIS is the independent quality evidence —
+    // banded top-k must recover most of the exact top-k
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 7.0 + i * 11.0).toFloat)
+    val emb = (0 until 200).map(k => (k.toLong, vec(k))).toDF("vec_id", "embedding")
+    val exact = graft.ops.Similarity.bruteForceTopK(emb, nQueries = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = graft.ops.Similarity.lshTopK(emb, nQueries = 8, k = 3, nPlanes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, f"LSH recall $recall%.2f below floor vs exact top-k")
+  }
 }

@@ -79,6 +79,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("batch hostSessionsBatch is the semantic twin of streaming hostSessions") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val corpus = Seq(
+      page("https://h1.example/a", 0, "<p>x</p>"),
+      page("https://h1.example/b", 1, "<p><h3>bad"),
+      page("https://h2.example/c", 0, "<p>y</p>"),
+      // 10 minutes later on h1: past the 2-minute gap → a second session
+      page("https://h1.example/d", 11, "<p>z</p>"))
+    // streaming pass: flush all sessions with a far-future watermark event
+    val input = MemoryStream[Page]
+    val q = ExtractStream.hostSessions(
+      ExtractStream.run(input.toDF()), gapMs = 120000L)
+      .writeStream.format("memory").queryName("twin_stream")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        input.addData(corpus: _*)
+        q.processAllAvailable()
+        input.addData(page("https://flush.example/z", 59, "<p>late</p>"))
+        q.processAllAvailable()
+        spark.sql("SELECT host, docs, errors, bytes FROM twin_stream")
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+          .toSet
+      } finally q.stop()
+    // batch pass over the same corpus (flush page excluded — the stream
+    // only used it to advance the watermark)
+    val batch = ExtractStream.hostSessionsBatch(
+      graft.pipeline.ExtractJob.run(corpus.toDF()).toDF(), gapSec = 120L)
+      .select("host", "docs", "errors", "bytes")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(batch.size == 3) // h1 has TWO sessions (gap split), h2 one
+  }
+
   test("watermarked windowed metrics aggregate per minute") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
