@@ -60,16 +60,38 @@ object Bench {
       name -> (if (times.isEmpty) 0.0 else median(times))
     }
 
-    // flagship extraction throughput: full kernel pass over the pages table
-    val pages = graft.pipeline.Synth.pages(spark, sfDir).cache()
-    val nDocs = pages.count()
-    // warmup (JIT + code paths)
-    graft.pipeline.ExtractJob.run(pages).agg(org.apache.spark.sql.functions.sum("n_nodes")).collect()
-    val extractTimes = (1 to Passes).map { _ =>
+    // flagship extraction throughput: full kernel pass over the pages table.
+    // A sub-second timed job swings 5x with host weather, so the corpus is
+    // replicated (cached, counted) until one pass costs >= ~2 s of work —
+    // the metric then reflects steady-state kernel throughput, not
+    // scheduler/JIT jitter on a 100 ms job.
+    import org.apache.spark.sql.functions.{explode, sequence, lit, sum => fsum}
+    def timedPass(df: org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      graft.pipeline.ExtractJob.run(pages).agg(org.apache.spark.sql.functions.sum("n_nodes")).collect()
+      graft.pipeline.ExtractJob.run(df).agg(fsum("n_nodes")).collect()
       (System.nanoTime() - t0) / 1e9
     }
+    val pages0 = graft.pipeline.Synth.pages(spark, sfDir)
+    val probe = pages0.cache()
+    val nBase = probe.count()
+    timedPass(probe) // warmup (JIT + code paths)
+    val probeSec = timedPass(probe)
+    // per-doc cost drops as the job grows (fixed scheduling overhead
+    // amortizes), so size for ~6x the probe-estimated need to land the
+    // replicated pass comfortably past ~2 s
+    val rep = math.max(1, math.min(64, math.ceil(6.0 / math.max(probeSec, 0.03)).toInt))
+    val (pages, nDocs) =
+      if (rep == 1) (probe, nBase)
+      else {
+        val p = pages0
+          .withColumn("__r", explode(sequence(lit(0), lit(rep - 1)))).drop("__r")
+          .cache()
+        val n = p.count()
+        timedPass(p) // warmup the replicated path
+        probe.unpersist()
+        (p, n)
+      }
+    val extractTimes = (1 to Passes).map(_ => timedPass(pages))
     val extractSec = median(extractTimes)
     val docsPerSec = nDocs / extractSec
     pages.unpersist()

@@ -3,12 +3,20 @@
 sketches, so q16 (simhash) and q33 (winnowing) get FULL rows+schema+hash
 oracle checks instead of rows-only.
 
-This is an INDEPENDENT reimplementation (pure Python) of the same public
+The sketch fixtures (minhash bands, simhash, winnowing, langid) are
+INDEPENDENT reimplementations (pure Python) of the same public
 constructions the Scala side implements — FNV-1a/64 over UTF-16 code units,
 64-bit SimHash with unit weights, Rabin-Karp rolling hash (B=1000003,
 window=16) + winnowing (guarantee=8, first-seen order, deduped). Any drift
 between the two implementations shows up as a hash mismatch in the driver's
 DuckDB compare.
+
+The q18 LSH fixture is DIFFERENT in kind: it is a bit-exact PORT of
+Similarity.lshTopK (same hyperplane constants, float32-product/double-fold
+accumulation, HALF_UP rounding), so it is a regression PIN, not independent
+verification — a bug shared by both sides would survive it. The independent
+quality evidence for q18 is the ScalaTest recall check against the exact
+brute-force scan (PipelineSpec "lshTopK recall vs the exact scan").
 
 Fixtures are keyed by md5(text) — not doc_id — so one fixture covers every
 scale factor whose documents appear here (sf0.001/sf0.01/sf0.1 by default).
