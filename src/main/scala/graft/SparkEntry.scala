@@ -318,6 +318,29 @@ object SparkEntry {
       graft.streaming.ExtractStream.hostSessionsBatch(
         ExtractJob.run(pagesDf(s, dir)).toDF(), gapSec = 3600L)),
 
+    "q42_main_content" -> ((s, dir) => {
+      // boilerplate-strip main-content extraction (kernel Boilerplate
+      // heuristics): the synthesized page wraps one genuine content block in
+      // every chrome category the heuristics handle — tag strip (script,
+      // style, nav, footer), class-token strip (sidebar), id-token strip
+      // (page-header), and a link farm caught only by the link-density
+      // prune. The oracle predicts the surviving text and the exact number
+      // of stripped subtrees (7).
+      val page = concat(
+        lit("<html><head><script>var x = 1 < 2;</script>" +
+          "<style>.m{color:red}</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/a\">About</a></nav>"),
+        lit("<div class=\"sidebar widget\"><p>subscribe now</p></div>"),
+        lit("<div id=\"page-header\"><span>site</span></div>"),
+        lit("<div class=\"content\"><p>"), col("text"), lit("</p></div>"),
+        lit("<div><a href=\"#\">m1</a> <a href=\"#\">m2</a> <a href=\"#\">m3</a></div>"),
+        lit("<footer>(c) example</footer></body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), HtmlFunctions.mainContent(page).as("mc"))
+        .select(col("doc_id"), col("mc.main_text").as("main_text"),
+          col("mc.n_stripped").cast("long").as("n_stripped"))
+    }),
+
     "q34_css_descendant_rel" -> ((s, dir) => {
       // descendant combinators (`ul [class~=item]`, `div h3`) run RELATIONALLY:
       // explode once, then equi-join exploded ancestors — zero per-row HTML
@@ -588,6 +611,9 @@ object SparkEntry {
           "cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming " +
           "FROM s a JOIN s b ON a.doc_id < b.doc_id " +
           "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
+      "q42_main_content" ->
+        (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
+          "FROM documents"),
       "q34_css_descendant_rel" ->
         ("SELECT doc_id, " +
           "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 5 + 1 END AS bigint) AS n_item_desc, " +

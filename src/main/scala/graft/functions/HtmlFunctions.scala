@@ -86,6 +86,14 @@ object HtmlFunctions extends Serializable {
     if (s == null) null else Entities.decode(s)
   }
 
+  /** Boilerplate-stripped main-content extraction (kernel heuristics —
+    * graft.kernel.Boilerplate): one parse per row, returns
+    * struct(main_text, n_stripped).
+    */
+  val mainContent = udf { (html: String) =>
+    if (html == null) null else Boilerplate.mainContent(html)
+  }
+
   /** Register everything for the pure-SQL surface. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("html_valid", htmlValid)
@@ -95,5 +103,6 @@ object HtmlFunctions extends Serializable {
     spark.udf.register("css_first_text", cssFirstText)
     spark.udf.register("css_first_attr", cssFirstAttr)
     spark.udf.register("html_unescape", htmlUnescapeUdf)
+    spark.udf.register("main_content", mainContent)
   }
 }

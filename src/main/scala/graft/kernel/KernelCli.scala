@@ -6,6 +6,7 @@ package graft.kernel
   *   runMain graft.kernel.KernelCli parse <file> [selector]
   *   runMain graft.kernel.KernelCli bench <file> <iterations>
   *   runMain graft.kernel.KernelCli text  <file>
+  *   runMain graft.kernel.KernelCli main  <file>   # boilerplate-stripped
   */
 object KernelCli {
   def main(args: Array[String]): Unit = {
@@ -26,6 +27,10 @@ object KernelCli {
         }
       case "text" =>
         println(HtmlParser.parse(html).structuredText)
+      case "main" =>
+        val r = Boilerplate.mainContent(html)
+        println(s"--- stripped ${r.n_stripped} boilerplate subtrees ---")
+        println(r.main_text)
       case "bench" =>
         val iters = args(2).toInt
         var i = 0
