@@ -318,6 +318,16 @@ object SparkEntry {
       graft.streaming.ExtractStream.hostSessionsBatch(
         ExtractJob.run(pagesDf(s, dir)).toDF(), gapSec = 3600L)),
 
+    "q43_embed_ivf" -> ((s, dir) =>
+      // IVF-flat ANN: deterministic coarse centroids (first-16 vectors) →
+      // broadcast argmax assignment (map-only) → probe the 4 nearest lists →
+      // exact cosine re-rank inside probed lists. The oracle rebuilds the
+      // identical inverted file in SQL (same HALF_UP round-4 ordering and
+      // smaller-id tie-breaks), so the approximate structure itself is
+      // hash-checked, not just sampled.
+      graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
+        nCentroids = 16, nProbes = 4)),
+
     "q42_main_content" -> ((s, dir) => {
       // boilerplate-strip main-content extraction (kernel Boilerplate
       // heuristics): the synthesized page wraps one genuine content block in
@@ -614,6 +624,31 @@ object SparkEntry {
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
           "FROM documents"),
+      "q43_embed_ivf" ->
+        // same inverted file, rebuilt in SQL: centroids = vec_id < 16;
+        // assignment = argmax round-4 cosine (ties → smaller cid); lists
+        // over 100000 members dropped; probes = top-4 lists per query;
+        // re-rank = round-4 cosine, ties → smaller neighbor_id
+        ("WITH c AS (SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id < 16), " +
+          "ac AS (SELECT e.vec_id, e.embedding, c.cid, " +
+          "round(cast(list_cosine_similarity(e.embedding, c.cemb) AS double), 4) AS cc " +
+          "FROM embeddings e, c), " +
+          "a AS (SELECT vec_id, embedding, cid AS list FROM " +
+          "(SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cc DESC, cid) AS rn FROM ac) " +
+          "WHERE rn = 1), " +
+          "keep AS (SELECT list FROM a GROUP BY list HAVING count(*) <= 100000), " +
+          "ak AS (SELECT a.* FROM a JOIN keep USING (list)), " +
+          "p AS (SELECT query_id, qemb, cid AS list FROM " +
+          "(SELECT q.vec_id AS query_id, q.embedding AS qemb, c.cid, " +
+          "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+          "round(cast(list_cosine_similarity(q.embedding, c.cemb) AS double), 4) DESC, c.cid) AS rn " +
+          "FROM embeddings q, c WHERE q.vec_id < 8) WHERE rn <= 4), " +
+          "cand AS (SELECT p.query_id, ak.vec_id AS neighbor_id, " +
+          "round(cast(list_cosine_similarity(p.qemb, ak.embedding) AS double), 4) AS cs " +
+          "FROM p JOIN ak USING (list) WHERE ak.vec_id <> p.query_id), " +
+          "r AS (SELECT query_id, neighbor_id, " +
+          "row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rnk FROM cand) " +
+          "SELECT query_id, cast(rnk AS int) AS rank, neighbor_id FROM r WHERE rnk <= 3"),
       "q34_css_descendant_rel" ->
         ("SELECT doc_id, " +
           "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 5 + 1 END AS bigint) AS n_item_desc, " +

@@ -140,6 +140,97 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** HALF_UP 4-decimal rounding — matches Spark's `round(col, 4)` and
+    * DuckDB's `round(x, 4)` (both round half away from zero), so centroid
+    * argmax/probe ordering inside the UDFs is bit-consistent with the
+    * oracle's SQL reconstruction.
+    */
+  private def round4(x: Double): Double =
+    BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** IVF-flat ANN — the inverted-file scale path (the other standard ANN
+    * layout besides hyperplane LSH): the corpus is partitioned into
+    * `nCentroids` lists by nearest coarse centroid, and a query scans only
+    * its `nProbes` closest lists instead of the whole corpus.
+    *
+    * Coarse centroids are the embeddings of the `nCentroids` smallest
+    * vec_ids — a deterministic data sample (no k-means RNG/iteration state),
+    * which keeps the whole operator a pure function of the table and lets
+    * the q43 DuckDB oracle rebuild it exactly. On a real cluster the
+    * centroid set is always tiny relative to the corpus (k ≈ sqrt(n) lists
+    * over 10^12 rows is ~10^6 centroids, still one broadcast), so the shape
+    * below is the production shape:
+    *
+    *   - centroids: one skinny collect → broadcast variable (driver-side by
+    *     construction — this is the IVF coarse quantizer, not a data scan)
+    *   - assignment: map-only UDF argmax over the broadcast array — no join,
+    *     no shuffle; at 10^12 rows this is the same per-row cost as writing
+    *     the row
+    *   - candidate gen: equi-join on the list id (shuffle-on-key), probing
+    *     `nProbes`/`nCentroids` of the corpus — the 1/K read amplification
+    *     win that makes IVF the on-disk ANN layout of choice
+    *   - re-rank: exact cosine inside the probed lists only
+    *
+    * Ties everywhere break toward the smaller id after HALF_UP 4-decimal
+    * rounding, mirrored by the oracle. Recall < 1 by construction (a true
+    * neighbor assigned to an unprobed list is missed) — the recall floor vs
+    * the exact scan is pinned in PipelineSpec alongside lshTopK's.
+    *
+    * `maxList` drops degenerate over-populated lists from candidacy
+    * (identical boilerplate embeddings collapsing onto one centroid),
+    * mirroring minhash/lsh hot-bucket hygiene; mirrored by the oracle.
+    */
+  def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nCentroids: Int = 16,
+      nProbes: Int = 4, maxList: Int = 100000): DataFrame = {
+    val spark = emb.sparkSession
+    val cents: Array[(Long, Array[Float])] = emb
+      .filter(col("vec_id") < nCentroids)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "ivfTopK: empty centroid sample")
+    val bc = spark.sparkContext.broadcast(cents)
+
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = cs(0)._1
+      var bestC = Double.NegativeInfinity
+      cs.foreach { case (cid, ce) =>
+        val c = round4(cosineF(v, ce))
+        if (c > bestC) { bestC = c; best = cid } // ties keep the smaller cid
+      }
+      best
+    }
+    val probesUdf = udf { (v: Seq[Float]) =>
+      bc.value
+        .map { case (cid, ce) => (round4(cosineF(v, ce)), cid) }
+        .sortBy { case (c, cid) => (-c, cid) }
+        .take(nProbes)
+        .map(_._2)
+        .toSeq
+    }
+
+    val base = emb.select(col("vec_id"), col("embedding"))
+    val lists0 = base.withColumn("list", assignUdf(col("embedding")))
+    val keep = lists0.groupBy("list").agg(count(lit(1)).as("__ln"))
+      .filter(col("__ln") <= maxList).select("list")
+    val lists = lists0.join(keep, "list")
+    val q = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"),
+        explode(probesUdf(col("embedding"))).as("list"))
+    // one list per corpus vector + distinct probes ⇒ a (query, neighbor)
+    // pair meets at most once; no dedup exchange needed
+    val cand = lists.join(broadcast(q), "list")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosUdf(col("q_embedding"), col("embedding")), 4).as("c"))
+    val w = Window.partitionBy("query_id").orderBy(col("c").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   /** Sign-quantization block key over the first `dims` dimensions —
     * axis-aligned hyperplane LSH as a PURE Column expression (bit d set iff
     * embedding[d] >= 0). Stays in whole-stage codegen and is exactly

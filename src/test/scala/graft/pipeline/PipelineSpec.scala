@@ -454,4 +454,52 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val recall = exact.intersect(lsh).size.toDouble / exact.size
     assert(recall >= 0.5, f"LSH recall $recall%.2f below floor vs exact top-k")
   }
+
+  test("IVF ANN finds planted near-identical neighbors") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 31 + i * 7).toFloat)
+    val rows = (0 until 20).flatMap { k =>
+      val v = vec(k)
+      Seq((2L * k, v), (2L * k + 1, v.updated(0, v.head + 0.001f)))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val res = graft.ops.Similarity.ivfTopK(emb, nQueries = 4, k = 1,
+      nCentroids = 8, nProbes = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a twin is cosine ~1 to its pair, so they share a nearest centroid and
+    // land in the same list — probing the top list always recovers the twin
+    (0 until 4).foreach { q =>
+      assert(res(q.toLong) == (q.toLong ^ 1L), s"query $q should find its twin")
+    }
+  }
+
+  test("ivfTopK recall vs the exact scan (independent quality check)") {
+    import spark.implicits._
+    // generic vectors — the q43 oracle hash-checks the construction; this
+    // pins that the construction is a GOOD ANN (recall floor vs exact)
+    def vec(seed: Int): Seq[Float] =
+      (0 until 64).map(i => math.sin(seed * 7.0 + i * 11.0).toFloat)
+    val emb = (0 until 200).map(k => (k.toLong, vec(k))).toDF("vec_id", "embedding")
+    val exact = graft.ops.Similarity.bruteForceTopK(emb, nQueries = 8, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.ops.Similarity.ivfTopK(emb, nQueries = 8, k = 3,
+      nCentroids = 16, nProbes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, f"IVF recall $recall%.2f below floor vs exact top-k")
+  }
+
+  test("ivfTopK probes fraction of lists: candidate set smaller than corpus") {
+    import spark.implicits._
+    def vec(seed: Int): Seq[Float] =
+      (0 until 32).map(i => math.cos(seed * 13.0 + i * 5.0).toFloat)
+    val emb = (0 until 300).map(k => (k.toLong, vec(k))).toDF("vec_id", "embedding")
+    // nProbes=1 of 16 lists: each query scans ~1/16 of the corpus — verify
+    // the result set exists and every rank is within k (structure sanity)
+    val res = graft.ops.Similarity.ivfTopK(emb, nQueries = 4, k = 3,
+      nCentroids = 16, nProbes = 1).collect()
+    assert(res.nonEmpty)
+    assert(res.forall(_.getInt(1) <= 3))
+  }
 }
