@@ -328,6 +328,24 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q44_pdf_roundtrip" -> ((s, dir) => {
+      // the PDF path under the driver gate, mirroring q40's WARC shape:
+      // every document becomes a REAL one-page FlateDecoded PDF (title line
+      // via Tj, body via chunked TJ arrays, literal-string escaping), and
+      // the from-scratch extractor (inflate → content tokenizer → text ops)
+      // must read it back byte-identically. Any bug in the writer, the
+      // stream framing, the zlib round trip, the escape set, or the
+      // interpreter breaks the hash.
+      val mk = udf { (docId: Long, text: String) =>
+        graft.sources.PdfText.synthesize(Seq("Doc " + docId, text))
+      }
+      val ext = udf { (pdf: Array[Byte]) =>
+        graft.sources.PdfText.extractText(pdf)
+      }
+      docs(s, dir).select(col("doc_id"),
+        ext(mk(col("doc_id"), col("text"))).as("pdf_text"))
+    }),
+
     "q42_main_content" -> ((s, dir) => {
       // boilerplate-strip main-content extraction (kernel Boilerplate
       // heuristics): the synthesized page wraps one genuine content block in
@@ -623,6 +641,9 @@ object SparkEntry {
           "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
+          "FROM documents"),
+      "q44_pdf_roundtrip" ->
+        ("SELECT doc_id, concat('Doc ', doc_id, chr(10), text) AS pdf_text " +
           "FROM documents"),
       "q43_embed_ivf" ->
         // same inverted file, rebuilt in SQL: centroids = vec_id < 16;
