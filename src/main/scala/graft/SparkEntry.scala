@@ -328,6 +328,15 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q45_quality_gate" -> ((s, dir) =>
+      // quality-gate MATERIALIZATION (the filter step between extraction
+      // and dedup): threshold predicates over the pure-Column quality
+      // scores. Every ratio is a division of exact integer counts, so the
+      // oracle reproduces the identical IEEE doubles and the pass/drop
+      // decision is hash-checked for every document.
+      graft.ops.TextAnalysis.qualityFilter(docs(s, dir))
+        .select(col("doc_id"), col("lang"), col("q_tokens"))),
+
     "q44_pdf_roundtrip" -> ((s, dir) => {
       // the PDF path under the driver gate, mirroring q40's WARC shape:
       // every document becomes a REAL one-page FlateDecoded PDF (title line
@@ -642,6 +651,15 @@ object SparkEntry {
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
           "FROM documents"),
+      "q45_quality_gate" ->
+        ("SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS q_tokens " +
+          "FROM documents " +
+          "WHERE length(text) >= 100 " +
+          "AND len(string_split_regex(text, '\\s+')) >= 20 " +
+          "AND (length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::double " +
+          "/ length(text) <= 0.3 " +
+          "AND len(list_distinct(string_split_regex(text, '\\s+')))::double " +
+          "/ len(string_split_regex(text, '\\s+')) >= 0.55"),
       "q44_pdf_roundtrip" ->
         ("SELECT doc_id, concat('Doc ', doc_id, chr(10), text) AS pdf_text " +
           "FROM documents"),

@@ -101,6 +101,38 @@ object TextAnalysis {
           size(array_distinct(toks)).cast("double") / size(toks)).otherwise(0.0))
   }
 
+  /** The quality GATE every training pipeline runs between extraction and
+    * dedup: deterministic threshold predicates over [[qualityScore]]'s
+    * columns, surfaced as a `q_pass` flag so callers can either filter or
+    * audit. Pure Column arithmetic end to end — the gate stays inside
+    * whole-stage codegen, and because every ratio is a division of exact
+    * integer counts the same IEEE doubles fall out of the DuckDB oracle
+    * (q45 hash-checks the pass/drop decision itself, not a sample).
+    */
+  def qualityGate(docs: DataFrame, minChars: Long = 100, minTokens: Long = 20,
+      maxPunctRatio: Double = 0.3, minUniqRatio: Double = 0.55,
+      textCol: String = "text"): DataFrame =
+    qualityScore(docs, textCol).withColumn("q_pass",
+      col("q_chars") >= minChars && col("q_tokens") >= minTokens &&
+        col("q_punct_ratio") <= maxPunctRatio && col("q_uniq_ratio") >= minUniqRatio)
+
+  /** Materialize the gated corpus (dropping the per-doc score columns is the
+    * caller's choice; they ride along like `cluster_size` does for dedup).
+    */
+  def qualityFilter(docs: DataFrame, minChars: Long = 100, minTokens: Long = 20,
+      maxPunctRatio: Double = 0.3, minUniqRatio: Double = 0.55,
+      textCol: String = "text"): DataFrame =
+    qualityGate(docs, minChars, minTokens, maxPunctRatio, minUniqRatio, textCol)
+      .filter(col("q_pass")).drop("q_pass")
+
+  /** One-row drop summary (the pre-commit audit, mirroring dedupStats). */
+  def qualityStats(gated: DataFrame): DataFrame =
+    gated.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_kept"),
+      sum(when(!col("q_pass"), 1L).otherwise(0L)).as("n_dropped"),
+      sum(when(!col("q_pass"), col("q_chars")).otherwise(0L)).as("chars_dropped"))
+
   // ---- tokenization ----
 
   /** BPE-ish pre-tokenizer regex (GPT-2-style word/number/punct/space

@@ -362,6 +362,22 @@ object PdfText {
     lines.mkString("\n")
   }
 
+  /** Directory of `.pdf` files → (path, pdf_text) — the PDF analog of
+    * [[WarcSource.read]]. A PDF is a whole-file document (there is no
+    * record stream to decode incrementally), so the binaryFile source's
+    * content column is the right granule: Spark packs small files into
+    * ~maxPartitionBytes tasks, and extraction is a pure per-row map.
+    */
+  def readDir(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val ext = udf { (pdf: Array[Byte]) => extractText(pdf) }
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load(path)
+      .select(col("path"), ext(col("content")).as("pdf_text"))
+  }
+
   // -------------------------------------------------------------- writing
 
   /** Escape a text line into literal-string BYTES (UTF-8 payload; the five

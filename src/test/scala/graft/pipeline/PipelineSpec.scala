@@ -455,6 +455,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, f"LSH recall $recall%.2f below floor vs exact top-k")
   }
 
+  test("quality gate: keeps real prose, drops short and repetitive docs; stats reconcile") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog and then runs far " +
+      "away through green fields deep woods wide rivers small towns big cities"
+    val short = "too short"
+    val repetitive = ("spam " * 40).trim // long enough, but uniq ratio 1/40
+    val df = Seq((1L, good), (2L, short), (3L, repetitive)).toDF("doc_id", "text")
+    val gated = graft.ops.TextAnalysis.qualityGate(df)
+    val pass = gated.filter(org.apache.spark.sql.functions.col("q_pass"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(pass == Set(1L))
+    val st = graft.ops.TextAnalysis.qualityStats(gated).head
+    assert(st.getAs[Long]("n_docs") == 3L)
+    assert(st.getAs[Long]("n_kept") == 1L)
+    assert(st.getAs[Long]("n_dropped") == 2L)
+    assert(st.getAs[Long]("chars_dropped") ==
+      short.length.toLong + repetitive.length.toLong)
+    val filtered = graft.ops.TextAnalysis.qualityFilter(df)
+    assert(filtered.count() == 1L)
+    assert(!filtered.columns.contains("q_pass")) // materialized, not flagged
+  }
+
   test("IVF ANN finds planted near-identical neighbors") {
     import spark.implicits._
     def vec(seed: Int): Seq[Float] =

@@ -121,6 +121,30 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extractText(pdf) == "")
   }
 
+  test("readDir: directory of PDFs → (path, pdf_text) table") {
+    val dir = java.nio.file.Files.createTempDirectory("pdfsrc").toFile
+    try {
+      Seq("alpha one", "beta two", "gamma three").zipWithIndex.foreach {
+        case (t, i) =>
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"doc$i.pdf").toPath,
+            PdfText.synthesize(Seq(s"T$i", t)))
+      }
+      java.nio.file.Files.write( // non-pdf noise must be ignored
+        new java.io.File(dir, "notes.txt").toPath, "x".getBytes(ISO_8859_1))
+      val spark = org.apache.spark.sql.SparkSession.builder()
+        .master("local[2]").config("spark.sql.shuffle.partitions", 2)
+        .config("spark.ui.enabled", false).getOrCreate()
+      val rows = PdfText.readDir(spark, dir.getAbsolutePath)
+        .collect().map(r => (r.getString(0), r.getString(1))).sortBy(_._1)
+      assert(rows.length == 3)
+      assert(rows.map(_._2).toSeq ==
+        Seq("T0\nalpha one", "T1\nbeta two", "T2\ngamma three"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("synthesized file is structurally sane (header, xref, EOF)") {
     val pdf = new String(PdfText.synthesize(Seq("x")), ISO_8859_1)
     assert(pdf.startsWith("%PDF-1.4"))
