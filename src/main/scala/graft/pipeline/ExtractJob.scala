@@ -42,9 +42,14 @@ object ExtractJob {
 
   def parsePage(docId: Long, url: String, warcTs: java.sql.Timestamp,
       html: Array[Byte], lang: String,
-      options: ParseOptions = ParseOptions()): ParsedDoc = {
+      options: ParseOptions = ParseOptions(),
+      stripBoilerplate: Boolean = false): ParsedDoc = {
     val raw = new String(html, java.nio.charset.StandardCharsets.UTF_8)
     val root = HtmlParser.parse(raw, options)
+    // optional DOM heuristics (north star: "strip boilerplate and emit
+    // extracted text") — same kernel pass, zero extra plan cost; node/link
+    // stats then describe the EMITTED tree, not the raw one
+    if (stripBoilerplate) graft.kernel.Boilerplate.strip(root)
     val (nodes, elements, links) = stats(root)
     ParsedDoc(docId, url, warcTs, lang, root.valid, root.structuredText,
       nodes, elements, links, html.length)
@@ -57,7 +62,8 @@ object ExtractJob {
     * just to recover an id was the single avoidable shuffle in the flagship
     * query); inputs without the column get -1.
     */
-  def run(pages: DataFrame, saltPartitions: Int = 0): Dataset[ParsedDoc] = {
+  def run(pages: DataFrame, saltPartitions: Int = 0,
+      stripBoilerplate: Boolean = false): Dataset[ParsedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     // prune to exactly what the kernel needs BEFORE any shuffle
@@ -82,7 +88,10 @@ object ExtractJob {
     routed
       .as[(Long, String, java.sql.Timestamp, Array[Byte], String)]
       .mapPartitions { it =>
-        it.map { case (id, url, ts, html, lang) => parsePage(id, url, ts, html, lang) }
+        it.map { case (id, url, ts, html, lang) =>
+          parsePage(id, url, ts, html, lang,
+            stripBoilerplate = stripBoilerplate)
+        }
       }
   }
 

@@ -38,6 +38,23 @@ object ExtractStream {
         sum(when(col("parse_ok"), 0L).otherwise(1L)).as("parse_errors"),
         sum("n_bytes").as("bytes_in"))
 
+  /** Streaming EXACT dedup — the streaming twin of the batch resume
+    * anti-join (TableIO.resumeByUrl): documents whose `keyCol` was already
+    * seen within the watermark horizon are dropped.
+    * `dropDuplicatesWithinWatermark` keeps per-key state in the state store
+    * and EVICTS keys once the watermark passes their event time, so state
+    * is bounded and the stream runs forever on a crawl feed — the plain
+    * streaming `dropDuplicates` would grow state without bound at 10^12
+    * docs. Exactly-once per key within the horizon; across restarts /
+    * beyond the horizon the committed-table anti-join is the backstop.
+    * Key by `url` for recrawl suppression or by a content fingerprint
+    * column for streaming exact-dedup.
+    */
+  def dedupStream(pages: DataFrame, keyCol: String = "url",
+      watermarkDelay: String = "10 minutes"): DataFrame =
+    pages.withWatermark("warc_ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
   /** Custom keyed state: per-HOST crawl sessions via flatMapGroupsWithState
     * with an event-time timeout. A host's state accumulates (docs, errors,
     * bytes, first/last event time) while pages keep arriving; when the

@@ -49,6 +49,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming exact dedup drops repeats within the watermark horizon") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Page]
+    val q = ExtractStream.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        page("u1", 0, "<p>a</p>"),
+        page("u1", 1, "<p>a-recrawl</p>"), // same url, same batch
+        page("u2", 1, "<p>b</p>"))
+      q.processAllAvailable()
+      input.addData(page("u1", 2, "<p>a-again</p>")) // same url, later batch
+      input.addData(page("u3", 3, "<p>c</p>"))
+      q.processAllAvailable()
+      val urls = spark.sql("SELECT url FROM dedup_stream")
+        .collect().map(_.getString(0)).toSeq
+      assert(urls.sorted == Seq("u1", "u2", "u3"))
+    } finally q.stop()
+  }
+
+  test("boilerplate strip composes with the flagship pipeline (batch + stream plans)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val html = "<nav><a href=\"/\">Home</a></nav><div class=\"c\"><p>kept body</p></div>" +
+      "<footer>chrome</footer>"
+    val batch = Seq(page("u1", 0, html)).toDF()
+    val parsed = graft.pipeline.ExtractJob.run(batch, stripBoilerplate = true).collect()
+    assert(parsed.head.text_out == "kept body")
+    // stats describe the emitted tree: nav/a/footer gone
+    assert(parsed.head.n_links == 0)
+    // same option through the streaming entry (identical map-only plan)
+    val input = MemoryStream[Page]
+    val q = graft.pipeline.ExtractJob.run(input.toDF(), stripBoilerplate = true)
+      .writeStream.format("memory").queryName("strip_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(page("u2", 0, html))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT text_out FROM strip_stream").head.getString(0) ==
+        "kept body")
+    } finally q.stop()
+  }
+
   test("stateful host sessions emit on event-time timeout (flatMapGroupsWithState)") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
