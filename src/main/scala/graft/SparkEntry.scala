@@ -328,6 +328,31 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q46_pipeline_e2e" -> ((s, dir) => {
+      // the WHOLE training-data pipeline as one query: synthesize a crawl
+      // with injected exact recrawls (every doc_id % 5 == 0 document appears
+      // twice) → parse + boilerplate-strip extraction → quality gate over
+      // the EXTRACTED text → exact dedup on its md5 fingerprint (min doc_id
+      // survives — the 32-byte key is what you shuffle at 10^12 docs, not
+      // the text) → per-lang corpus metrics. Every stage changes the
+      // result, and the oracle recomputes all four from first principles.
+      val base = docs(s, dir)
+      val dups = base.filter(col("doc_id") % 5 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000)
+      val crawl = Synth.pagesFromDocs(base.unionByName(dups))
+      val parsed = ExtractJob.run(crawl, stripBoilerplate = true).toDF()
+      val gated = graft.ops.TextAnalysis.qualityFilter(parsed,
+        minChars = 60, minTokens = 12, maxPunctRatio = 0.3,
+        minUniqRatio = 0.55, textCol = "text_out")
+        .withColumn("fp", md5(encode(col("text_out"), "UTF-8")))
+      val canon = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      val kept = gated.join(canon, Seq("fp", "doc_id"))
+      kept.groupBy("lang").agg(
+        count(lit(1)).as("docs"),
+        sum("q_tokens").as("n_tokens"),
+        sum(length(col("text_out")).cast("long")).as("n_chars"))
+    }),
+
     "q45_quality_gate" -> ((s, dir) =>
       // quality-gate MATERIALIZATION (the filter step between extraction
       // and dedup): threshold predicates over the pure-Column quality
@@ -651,6 +676,20 @@ object SparkEntry {
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
           "FROM documents"),
+      "q46_pipeline_e2e" ->
+        ("WITH base AS (SELECT doc_id, lang, text FROM documents " +
+          "UNION ALL SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id % 5 = 0), " +
+          s"ex AS (SELECT doc_id, lang, CASE WHEN doc_id % 7 = 0 THEN $trimmed " +
+          s"ELSE concat($trimmed, chr(10), repeat(concat(lang, chr(10)), cast(doc_id % 5 + 1 AS int)), 'link') END AS t FROM base), " +
+          "q AS (SELECT doc_id, lang, t, len(string_split_regex(t, '\\s+')) AS toks FROM ex " +
+          "WHERE length(t) >= 60 " +
+          "AND len(string_split_regex(t, '\\s+')) >= 12 " +
+          "AND (length(t) - length(regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')))::double / length(t) <= 0.3 " +
+          "AND len(list_distinct(string_split_regex(t, '\\s+')))::double / len(string_split_regex(t, '\\s+')) >= 0.55), " +
+          "k AS (SELECT md5(t) AS fp, min(doc_id) AS doc_id FROM q GROUP BY 1), " +
+          "kept AS (SELECT q.* FROM q JOIN k ON md5(q.t) = k.fp AND q.doc_id = k.doc_id) " +
+          "SELECT lang, count(*) AS docs, cast(sum(toks) AS bigint) AS n_tokens, " +
+          "cast(sum(length(t)) AS bigint) AS n_chars FROM kept GROUP BY lang"),
       "q45_quality_gate" ->
         ("SELECT doc_id, lang, len(string_split_regex(text, '\\s+')) AS q_tokens " +
           "FROM documents " +

@@ -18,8 +18,14 @@ object Synth {
     * experiments. ~1/7 of pages get deliberately malformed HTML (unclosed
     * div+h3) to exercise the repair pass and the parse_ok metric.
     */
-  def pages(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  def pages(spark: SparkSession, sfDir: String): DataFrame =
+    pagesFromDocs(spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  /** Same construction over an arbitrary documents-shaped frame (doc_id,
+    * text, lang, source) — lets callers synthesize crawls with injected
+    * duplicates / mutations while keeping the oracle reproducible.
+    */
+  def pagesFromDocs(docs: DataFrame): DataFrame = {
     docs.select(
       concat(lit("https://host-"),
         when(col("doc_id") % 2 === 0, lit("0"))
