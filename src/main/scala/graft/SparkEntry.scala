@@ -328,6 +328,58 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q47_head_meta" -> ((s, dir) => {
+      // page-metadata table (title / description / canonical / robots):
+      // synthesized heads, extracted through the kernel SELECTOR path
+      // (title text, attr lookups on meta/link matches) — so q47 gates
+      // querySelector + attribute decode end-to-end against a SQL oracle
+      val page = concat(
+        lit("<html lang=\""), col("lang"), lit("\"><head><title>Doc "),
+        col("doc_id"), lit(" - "), col("lang"), lit("</title>"),
+        lit("<meta name=\"description\" content=\""),
+        substring(col("text"), 1, 40), lit("\">"),
+        lit("<link rel=\"canonical\" href=\"https://c.example/"), col("doc_id"),
+        lit("\">"),
+        when(col("doc_id") % 9 === 0,
+          lit("<meta name=\"robots\" content=\"noindex, nofollow\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>x</p></body></html>"))
+      graft.ops.PageMeta.headMeta(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .toDF()
+    }),
+
+    "q48_outlinks" -> ((s, dir) => {
+      // link-graph edge extraction: every page carries doc_id%5+1 anchors
+      // with deterministic hrefs/anchors/rel flags; the kernel emits the
+      // edge list in document order
+      val page = concat(lit("<div>"),
+        expr("concat_ws('', transform(sequence(1, cast(doc_id % 5 + 1 as int)), i -> " +
+          "concat('<a href=\"https://t.example/', cast((doc_id * 7 + i) % 100 as string), '\"', " +
+          "case when i % 2 = 0 then ' rel=\"nofollow\"' else '' end, " +
+          "'>w', cast(i as string), ' ', lang, '</a>')))"),
+        lit("</div>"))
+      graft.ops.PageMeta.outlinks(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .toDF()
+    }),
+
+    "q49_link_degrees" -> ((s, dir) => {
+      // in-degree of every distinct link target over the whole corpus —
+      // the aggregation side of the link graph (one hash agg, map-side
+      // combined)
+      val page = concat(lit("<div>"),
+        expr("concat_ws('', transform(sequence(1, cast(doc_id % 5 + 1 as int)), i -> " +
+          "concat('<a href=\"https://t.example/', cast((doc_id * 7 + i) % 100 as string), '\"', " +
+          "case when i % 2 = 0 then ' rel=\"nofollow\"' else '' end, " +
+          "'>w', cast(i as string), ' ', lang, '</a>')))"),
+        lit("</div>"))
+      val edges = graft.ops.PageMeta.outlinks(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .toDF()
+      graft.ops.PageMeta.degrees(edges)._2
+    }),
+
     "q46_pipeline_e2e" -> ((s, dir) => {
       // the WHOLE training-data pipeline as one query: synthesize a crawl
       // with injected exact recrawls (every doc_id % 5 == 0 document appears
@@ -676,6 +728,20 @@ object SparkEntry {
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
           "FROM documents"),
+      "q47_head_meta" ->
+        ("SELECT doc_id, concat('Doc ', doc_id, ' - ', lang) AS title, " +
+          "substr(text, 1, 40) AS description, " +
+          "concat('https://c.example/', doc_id) AS canonical, " +
+          "(doc_id % 9 = 0) AS noindex FROM documents"),
+      "q48_outlinks" ->
+        ("SELECT doc_id, " +
+          "concat('https://t.example/', (doc_id * 7 + i) % 100) AS href, " +
+          "concat('w', i, ' ', lang) AS anchor, (i % 2 = 0) AS nofollow " +
+          "FROM documents, unnest(range(1, cast(doc_id % 5 + 2 AS int))) AS t(i)"),
+      "q49_link_degrees" ->
+        ("WITH e AS (SELECT concat('https://t.example/', (doc_id * 7 + i) % 100) AS href " +
+          "FROM documents, unnest(range(1, cast(doc_id % 5 + 2 AS int))) AS t(i)) " +
+          "SELECT href, count(*) AS in_degree FROM e GROUP BY href"),
       "q46_pipeline_e2e" ->
         ("WITH base AS (SELECT doc_id, lang, text FROM documents " +
           "UNION ALL SELECT doc_id + 10000, lang, text FROM documents WHERE doc_id % 5 = 0), " +

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import graft.kernel.{HtmlParser, Query}
+
+/** Page-level metadata extraction — the two tables every crawl pipeline
+  * builds next to the text corpus:
+  *
+  *   - [[headMeta]]: title / meta-description / canonical / robots-noindex
+  *     per page (dedup canonicalization, indexability filtering, snippet
+  *     generation all read this table, not the HTML)
+  *   - [[outlinks]]: the link-graph edge list (href, anchor text, nofollow)
+  *     — the input to in/out-degree metrics, host-level graphs, and
+  *     connected components (Dedup.clustersFromPairs is generic over any
+  *     edge table, including this one)
+  *
+  * Both are one kernel parse per page inside the same mapPartitions shape
+  * as ExtractJob (map-only, no shuffle); selectors compile once per
+  * partition, the reference-compile-once-per-query pattern
+  * (/root/reference/src/index.ts:408). Degree metrics are plain relational
+  * aggregations over the edge table.
+  */
+object PageMeta {
+
+  final case class HeadMeta(
+      doc_id: Long,
+      title: String,
+      description: String,
+      canonical: String,
+      noindex: Boolean)
+
+  final case class Outlink(
+      doc_id: Long,
+      href: String,
+      anchor: String,
+      nofollow: Boolean)
+
+  private def parseBytes(html: Array[Byte]) =
+    HtmlParser.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
+
+  /** (doc_id, html) or a full pages frame → one HeadMeta row per page. */
+  def headMeta(pages: DataFrame): Dataset[HeadMeta] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // compile once per partition — constant selectors
+        val selTitle = Query.compileUnion("title")
+        val selDesc = Query.compileUnion("meta[name=\"description\"]")
+        val selCanon = Query.compileUnion("link[rel=\"canonical\"]")
+        val selRobots = Query.compileUnion("meta[name=\"robots\"]")
+        it.map { case (id, html) =>
+          val root = parseBytes(html)
+          val title = Query.querySelector(root, selTitle).map(_.text).getOrElse("")
+          val desc = Query.querySelector(root, selDesc)
+            .flatMap(_.getAttribute("content")).getOrElse("")
+          val canon = Query.querySelector(root, selCanon)
+            .flatMap(_.getAttribute("href")).getOrElse("")
+          val noindex = Query.querySelector(root, selRobots)
+            .flatMap(_.getAttribute("content"))
+            .exists(_.toLowerCase.split("[,\\s]+").contains("noindex"))
+          HeadMeta(id, title, desc, canon, noindex)
+        }
+      }
+  }
+
+  /** (doc_id, html) → link-graph edges in document order. `href`-less
+    * anchors are skipped (they are fragment targets, not edges); `nofollow`
+    * follows the whitespace/comma-token reading of rel.
+    */
+  def outlinks(pages: DataFrame): Dataset[Outlink] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val selA = Query.compileUnion("a")
+        it.flatMap { case (id, html) =>
+          val root = parseBytes(html)
+          Query.querySelectorAll(root, selA).iterator.flatMap { a =>
+            a.getAttribute("href").map { href =>
+              val nofollow = a.getAttribute("rel")
+                .exists(_.toLowerCase.split("[,\\s]+").contains("nofollow"))
+              Outlink(id, href, a.text, nofollow)
+            }
+          }
+        }
+      }
+  }
+
+  /** Degree metrics over an edge table: out-degree per source doc plus the
+    * in-degree of every distinct target. Two hash aggregations — the
+    * partial/final split makes both map-side-combining at any scale.
+    */
+  def degrees(edges: DataFrame): (DataFrame, DataFrame) = {
+    val out = edges.groupBy("doc_id").agg(
+      count(lit(1)).as("out_degree"),
+      sum(when(col("nofollow"), 1L).otherwise(0L)).as("out_nofollow"))
+    val in = edges.groupBy("href").agg(count(lit(1)).as("in_degree"))
+    (out, in)
+  }
+}

@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+
+/** Page-metadata + link-graph extraction edge cases (missing fields,
+  * href-less anchors, rel/robots token parsing, entity-decoded anchors).
+  */
+class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder().master("local[2]")
+      .appName("pagemeta-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def pagesOf(html: String) = {
+    import spark.implicits._
+    Seq((1L, html.getBytes("UTF-8"))).toDF("doc_id", "html")
+  }
+
+  test("headMeta: all fields present") {
+    val m = PageMeta.headMeta(pagesOf(
+      "<html><head><title>T1</title>" +
+        "<meta name=\"description\" content=\"d e s c\">" +
+        "<link rel=\"canonical\" href=\"https://c/x\">" +
+        "<meta name=\"robots\" content=\"NOINDEX,nofollow\">" +
+        "</head><body></body></html>")).collect().head
+    assert(m.title == "T1" && m.description == "d e s c")
+    assert(m.canonical == "https://c/x")
+    assert(m.noindex) // case-insensitive, comma-token parsing
+  }
+
+  test("headMeta: missing fields default to empty / false") {
+    val m = PageMeta.headMeta(pagesOf("<body><p>no head</p></body>")).collect().head
+    assert(m.title == "" && m.description == "" && m.canonical == "")
+    assert(!m.noindex)
+  }
+
+  test("headMeta: robots without noindex token is indexable") {
+    val m = PageMeta.headMeta(pagesOf(
+      "<head><meta name=\"robots\" content=\"nofollow, noarchive\"></head>"))
+      .collect().head
+    assert(!m.noindex)
+  }
+
+  test("headMeta: title text is entity-decoded") {
+    val m = PageMeta.headMeta(pagesOf("<title>A &amp; B</title>")).collect().head
+    assert(m.title == "A & B")
+  }
+
+  test("outlinks: href-less anchors skipped, rel tokens parsed, anchor decoded") {
+    val rows = PageMeta.outlinks(pagesOf(
+      "<a name=\"frag\">no href</a>" +
+        "<a href=\"/x\" rel=\"external nofollow\">first &amp; best</a>" +
+        "<a href=\"/y\" rel=\"nofollower\">second</a>")).collect()
+    assert(rows.length == 2)
+    assert(rows(0).href == "/x" && rows(0).anchor == "first & best" && rows(0).nofollow)
+    assert(rows(1).href == "/y" && !rows(1).nofollow) // whole-token only
+  }
+
+  test("degrees: out/in aggregations reconcile with the edge list") {
+    import spark.implicits._
+    val edges = Seq(
+      (1L, "a", "x", false), (1L, "b", "y", true),
+      (2L, "a", "z", false)).toDF("doc_id", "href", "anchor", "nofollow")
+    val (out, in) = PageMeta.degrees(edges)
+    val outM = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(outM(1L) == ((2L, 1L)) && outM(2L) == ((1L, 0L)))
+    val inM = in.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(inM("a") == 2L && inM("b") == 1L)
+  }
+}
