@@ -328,6 +328,22 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q50_vocabulary" -> ((s, dir) =>
+      // tokenizer-training precursor: BPE-ish token -> count, thresholded;
+      // map-side-combined hash agg (whitespace runs excluded from vocab)
+      graft.ops.TextAnalysis.vocabulary(docs(s, dir), minCount = 5)),
+
+    "q51_decontaminate" -> ((s, dir) => {
+      // benchmark decontamination: winnowing-fingerprint overlap between
+      // the training split and a held-out 'benchmark' split (doc_id % 13);
+      // inner join on the fingerprint key — clean docs never shuffle.
+      // Oracle recomputes both splits from the independent winnow fixture.
+      val d = docs(s, dir)
+      graft.ops.TextAnalysis.contamination(
+        d.filter(col("doc_id") % 13 =!= 0),
+        d.filter(col("doc_id") % 13 === 0))
+    }),
+
     "q47_head_meta" -> ((s, dir) => {
       // page-metadata table (title / description / canonical / robots):
       // synthesized heads, extracted through the kernel SELECTOR path
@@ -728,6 +744,21 @@ object SparkEntry {
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
           "FROM documents"),
+      "q50_vocabulary" ->
+        ("WITH tok AS (SELECT unnest(regexp_extract_all(text, " +
+          "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+|\\s+')) AS token FROM documents) " +
+          "SELECT token, count(*) AS n FROM tok " +
+          "WHERE NOT regexp_matches(token, '^\\s+$') " +
+          "GROUP BY token HAVING count(*) >= 5"),
+      "q51_decontaminate" ->
+        ("WITH fp AS (SELECT d.doc_id, f.fingerprint FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/winnow_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5), " +
+          "bench AS (SELECT * FROM fp WHERE doc_id % 13 = 0), " +
+          "train AS (SELECT * FROM fp WHERE doc_id % 13 <> 0) " +
+          "SELECT t.doc_id, count(DISTINCT t.fingerprint) AS n_shared_fp, " +
+          "count(DISTINCT b.doc_id) AS n_bench_docs " +
+          "FROM train t JOIN bench b USING (fingerprint) GROUP BY t.doc_id"),
       "q47_head_meta" ->
         ("SELECT doc_id, concat('Doc ', doc_id, ' - ', lang) AS title, " +
           "substr(text, 1, 40) AS description, " +

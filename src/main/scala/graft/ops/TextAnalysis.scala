@@ -197,4 +197,39 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs.select(col("doc_id"), explode(fingerprintUdf(col(textCol))).as("fingerprint"))
+
+  /** Corpus VOCABULARY: BPE-ish token → count, thresholded — the
+    * tokenizer-training precursor (and the data for frequency-based quality
+    * filters). One explode + one hash agg; the partial/final split makes
+    * the count map-side combined, so the shuffle carries one row per
+    * distinct token per partition, not one per occurrence.
+    */
+  def vocabulary(docs: DataFrame, minCount: Long = 2,
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(
+        regexp_extract_all(col(textCol), lit(BpeishPattern), lit(0))).as("token"))
+      .filter(!col("token").rlike("^\\s+$")) // whitespace runs are not vocab
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+
+  /** Benchmark DECONTAMINATION: for every training doc, how much of it
+    * appears verbatim in a benchmark/eval set — measured as shared
+    * winnowing fingerprints (robust to position shifts by construction;
+    * same public scheme as [[fingerprints]], Schleimer et al. SIGMOD'03).
+    * Returns one row per CONTAMINATED doc: distinct shared fingerprints and
+    * how many distinct benchmark docs they hit; clean docs emit nothing
+    * (the common case at scale — the join is inner on the fingerprint
+    * key, so clean docs never shuffle past their own fingerprint rows).
+    */
+  def contamination(docs: DataFrame, benchmark: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val t = fingerprints(docs, textCol)
+    val b = fingerprints(benchmark, textCol)
+      .select(col("doc_id").as("bench_id"), col("fingerprint"))
+    t.join(b, "fingerprint")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("fingerprint")).as("n_shared_fp"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
 }

@@ -477,6 +477,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!filtered.columns.contains("q_pass")) // materialized, not flagged
   }
 
+  test("decontamination flags docs sharing a benchmark passage, not clean docs") {
+    import spark.implicits._
+    val passage = "the exact benchmark question text appears verbatim in this document"
+    val train = Seq(
+      (1L, "some unrelated training prose about rivers and mountains far away"),
+      (2L, "intro words " + passage + " outro words")).toDF("doc_id", "text")
+    val bench = Seq((100L, passage)).toDF("doc_id", "text")
+    val hits = graft.ops.TextAnalysis.contamination(train, bench).collect()
+    assert(hits.map(_.getLong(0)).toSet == Set(2L))
+    assert(hits.head.getAs[Long]("n_shared_fp") >= 1L)
+    assert(hits.head.getAs[Long]("n_bench_docs") == 1L)
+  }
+
+  test("vocabulary: thresholded token counts, whitespace excluded") {
+    import spark.implicits._
+    val df = Seq((1L, "ab ab ab cd"), (2L, "ab cd, cd!")).toDF("doc_id", "text")
+    val v = graft.ops.TextAnalysis.vocabulary(df, minCount = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(v == Map("ab" -> 4L, "cd" -> 3L)) // ',' '!' and spaces below/excluded
+  }
+
   test("IVF ANN finds planted near-identical neighbors") {
     import spark.implicits._
     def vec(seed: Int): Seq[Float] =
