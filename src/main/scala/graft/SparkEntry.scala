@@ -328,6 +328,28 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q52_url_canonical" -> ((s, dir) => {
+      // URL canonicalization as a PURE Column expression (whole-stage
+      // codegen, no UDF): messy synthesized urls — mixed-case scheme/host,
+      // default and non-default ports, empty paths, queries, fragments —
+      // normalize to the RFC 3986 identity-preserving form. The oracle
+      // constructs the expected canonical directly from the parts (no
+      // regex on the oracle side — independent of the parse).
+      val messy = concat(
+        lit("HTTP"), when(col("doc_id") % 2 === 0, lit("S")).otherwise(lit("")),
+        lit("://WWW.Host"), (col("doc_id") % 20).cast("string"), lit(".Example"),
+        when(col("doc_id") % 3 === 0,
+          when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")))
+          .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(""))
+          .otherwise(concat(lit("/P"), col("doc_id"))),
+        when(col("doc_id") % 5 === 0, lit("?b=2&a=1")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0, lit("#Sec")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), messy.as("url"))
+        .withColumn("canonical", graft.ops.UrlOps.canonicalizeUrl(col("url")))
+        .select("doc_id", "canonical")
+    }),
+
     "q50_vocabulary" -> ((s, dir) =>
       // tokenizer-training precursor: BPE-ish token -> count, thresholded;
       // map-side-combined hash agg (whitespace runs excluded from vocab)
@@ -743,6 +765,13 @@ object SparkEntry {
           "WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"),
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
+          "FROM documents"),
+      "q52_url_canonical" ->
+        ("SELECT doc_id, concat('http', CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END, " +
+          "'://www.host', doc_id % 20, '.example', " +
+          "CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END, " +
+          "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE concat('/P', doc_id) END, " +
+          "CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1' ELSE '' END) AS canonical " +
           "FROM documents"),
       "q50_vocabulary" ->
         ("WITH tok AS (SELECT unnest(regexp_extract_all(text, " +

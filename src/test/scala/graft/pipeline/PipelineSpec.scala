@@ -477,6 +477,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!filtered.columns.contains("q_pass")) // materialized, not flagged
   }
 
+  test("url canonicalization: case, default ports, empty path, fragment") {
+    import spark.implicits._
+    val cases = Seq(
+      ("HTTP://Example.COM", "http://example.com/"),
+      ("http://example.com:80/a", "http://example.com/a"),
+      ("https://example.com:443/a", "https://example.com/a"),
+      ("https://example.com:80/a", "https://example.com:80/a"), // NOT default for https
+      ("http://example.com:8080/a?q=1#frag", "http://example.com:8080/a?q=1"),
+      ("http://example.com?x=1", "http://example.com/?x=1"),
+      ("http://example.com/A/B", "http://example.com/A/B")) // path case kept
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .withColumn("c", graft.ops.UrlOps.canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
+    val got = df.orderBy("i").collect().map(_.getString(2)).toSeq
+    assert(got == cases.map(_._2))
+  }
+
   test("decontamination flags docs sharing a benchmark passage, not clean docs") {
     import spark.implicits._
     val passage = "the exact benchmark question text appears verbatim in this document"
