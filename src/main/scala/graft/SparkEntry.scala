@@ -328,6 +328,29 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q53_robots_filter" -> ((s, dir) => {
+      // robots.txt frontier gate: per-host policies (base Disallow, a
+      // host-dependent Allow override, a host-dependent wildcard+$ rule)
+      // evaluated by the real RFC 9309 parser against per-doc paths; the
+      // oracle predicts every decision from the construction. At scale the
+      // per-host policy table is parsed once and broadcast against the
+      // frontier; here the parse rides in the UDF for a self-contained
+      // query.
+      val h = col("doc_id") % 20
+      val robots = concat(lit("User-agent: *\nDisallow: /private\n"),
+        when(h % 2 === 0, lit("Allow: /private/pub\n")).otherwise(lit("")),
+        when(h % 3 === 0, lit("Disallow: /*.tmp$\n")).otherwise(lit("")))
+      val path = when(col("doc_id") % 4 === 0, lit("/private/doc"))
+        .when(col("doc_id") % 4 === 1, lit("/private/pub/doc"))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit("/data/doc"), col("doc_id"), lit(".tmp")))
+        .otherwise(lit("/public/doc"))
+      val allowedUdf = udf { (r: String, p: String) =>
+        graft.sources.Robots.parse(r).isAllowed("graftbot", p)
+      }
+      docs(s, dir).select(col("doc_id"), allowedUdf(robots, path).as("allowed"))
+    }),
+
     "q52_url_canonical" -> ((s, dir) => {
       // URL canonicalization as a PURE Column expression (whole-stage
       // codegen, no UDF): messy synthesized urls — mixed-case scheme/host,
@@ -766,6 +789,12 @@ object SparkEntry {
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
           "FROM documents"),
+      "q53_robots_filter" ->
+        ("SELECT doc_id, CASE cast(doc_id % 4 AS int) " +
+          "WHEN 0 THEN false " +
+          "WHEN 1 THEN (doc_id % 20) % 2 = 0 " +
+          "WHEN 2 THEN NOT ((doc_id % 20) % 3 = 0) " +
+          "ELSE true END AS allowed FROM documents"),
       "q52_url_canonical" ->
         ("SELECT doc_id, concat('http', CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END, " +
           "'://www.host', doc_id % 20, '.example', " +
