@@ -328,6 +328,39 @@ object SparkEntry {
       graft.ops.Similarity.ivfTopK(emb(s, dir), nQueries = 8, k = 3,
         nCentroids = 16, nProbes = 4)),
 
+    "q54_sitemap" -> ((s, dir) => {
+      // sitemap ingestion: per-doc synthesized urlset XML → <loc> list via
+      // the kernel parser + selector query (entity-decoded), exploded to
+      // the frontier-url table the crawler seeds from
+      val sm = concat(lit("<?xml version=\"1.0\"?><urlset>"),
+        expr("concat_ws('', transform(sequence(0, 2), i -> " +
+          "concat('<url><loc>https://s.example/', cast(doc_id * 3 + i as string), " +
+          "'</loc><lastmod>2024-01-01</lastmod></url>')))"),
+        lit("</urlset>"))
+      val locsUdf = udf { (xml: String) =>
+        graft.sources.Sitemap.locations(xml)
+      }
+      docs(s, dir).select(col("doc_id"), explode(locsUdf(sm)).as("loc"))
+    }),
+
+    "q55_charset_extract" -> ((s, dir) => {
+      // charset-sniffing extraction: pages are REAL ISO-8859-1 bytes (the
+      // non-ASCII 'é' is a single 0xE9 byte — invalid UTF-8, so a blind
+      // UTF-8 decode would mojibake) carrying a meta declaration; the
+      // sniffing pipeline must recover the exact text
+      val body = concat(
+        lit("<html><head><meta charset=\"iso-8859-1\"></head><body><p>"),
+        regexp_replace(col("text"), lit("a"), lit("é")),
+        lit("</p></body></html>"))
+      val pages = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://cs.example/"), col("doc_id")).as("url"),
+        expr("timestamp_seconds(1704067200)").as("warc_ts"),
+        encode(body, "ISO-8859-1").as("html"),
+        col("lang"))
+      ExtractJob.run(pages, sniffCharset = true).toDF()
+        .select("doc_id", "text_out")
+    }),
+
     "q53_robots_filter" -> ((s, dir) => {
       // robots.txt frontier gate: per-host policies (base Disallow, a
       // host-dependent Allow override, a host-dependent wildcard+$ rule)
@@ -789,6 +822,12 @@ object SparkEntry {
       "q42_main_content" ->
         (s"SELECT doc_id, $trimmed AS main_text, cast(7 AS bigint) AS n_stripped " +
           "FROM documents"),
+      "q54_sitemap" ->
+        ("SELECT doc_id, concat('https://s.example/', doc_id * 3 + i) AS loc " +
+          "FROM documents, unnest(range(0, 3)) AS t(i)"),
+      "q55_charset_extract" ->
+        ("SELECT doc_id, trim(regexp_replace(replace(text, 'a', 'é'), " +
+          "'\\s{2,}', ' ', 'g')) AS text_out FROM documents"),
       "q53_robots_filter" ->
         ("SELECT doc_id, CASE cast(doc_id % 4 AS int) " +
           "WHEN 0 THEN false " +

@@ -43,8 +43,14 @@ object ExtractJob {
   def parsePage(docId: Long, url: String, warcTs: java.sql.Timestamp,
       html: Array[Byte], lang: String,
       options: ParseOptions = ParseOptions(),
-      stripBoilerplate: Boolean = false): ParsedDoc = {
-    val raw = new String(html, java.nio.charset.StandardCharsets.UTF_8)
+      stripBoilerplate: Boolean = false,
+      sniffCharset: Boolean = false): ParsedDoc = {
+    // default is a straight UTF-8 decode (the input_hint contract);
+    // sniffCharset turns on BOM + meta-charset detection for raw crawl
+    // bytes (graft.sources.Charset — never throws, U+FFFD on bad input)
+    val raw =
+      if (sniffCharset) graft.sources.Charset.decode(html)
+      else new String(html, java.nio.charset.StandardCharsets.UTF_8)
     val root = HtmlParser.parse(raw, options)
     // optional DOM heuristics (north star: "strip boilerplate and emit
     // extracted text") — same kernel pass, zero extra plan cost; node/link
@@ -63,7 +69,8 @@ object ExtractJob {
     * query); inputs without the column get -1.
     */
   def run(pages: DataFrame, saltPartitions: Int = 0,
-      stripBoilerplate: Boolean = false): Dataset[ParsedDoc] = {
+      stripBoilerplate: Boolean = false,
+      sniffCharset: Boolean = false): Dataset[ParsedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     // prune to exactly what the kernel needs BEFORE any shuffle
@@ -90,7 +97,7 @@ object ExtractJob {
       .mapPartitions { it =>
         it.map { case (id, url, ts, html, lang) =>
           parsePage(id, url, ts, html, lang,
-            stripBoilerplate = stripBoilerplate)
+            stripBoilerplate = stripBoilerplate, sniffCharset = sniffCharset)
         }
       }
   }

@@ -1,0 +1,64 @@
+package graft.sources
+
+/** Byte→text charset handling for crawl pages (real Common-Crawl HTML is
+  * not all UTF-8): BOM detection, `<meta charset>` / `http-equiv`
+  * sniffing in the first 1 KiB (the WHATWG prescan, simplified), and a
+  * decode that never throws — unsupported or wrong declarations fall back
+  * to UTF-8 with replacement chars, because a crawl task must not die on
+  * one mislabeled page.
+  */
+object Charset {
+
+  private val MetaRe =
+    """(?i)<meta[^>]*charset\s*=\s*["']?\s*([A-Za-z0-9._:-]+)""".r
+
+  /** Detected charset name (canonical Java name), defaulting to UTF-8. */
+  def sniff(bytes: Array[Byte]): String = {
+    if (bytes.length >= 3 && (bytes(0) & 0xFF) == 0xEF &&
+      (bytes(1) & 0xFF) == 0xBB && (bytes(2) & 0xFF) == 0xBF) return "UTF-8"
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFE && (bytes(1) & 0xFF) == 0xFF)
+      return "UTF-16BE"
+    if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xFE)
+      return "UTF-16LE"
+    // prescan window: meta declarations live in <head>, ASCII-superset safe
+    val head = new String(bytes, 0, math.min(bytes.length, 1024),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    MetaRe.findFirstMatchIn(head) match {
+      case Some(m) =>
+        val name = m.group(1)
+        try java.nio.charset.Charset.forName(name).name()
+        catch { case _: Exception => "UTF-8" } // unknown label: spec fallback
+      case None => "UTF-8"
+    }
+  }
+
+  /** Sniff + decode; never throws (malformed input maps to U+FFFD, exactly
+    * what `new String(bytes, charset)` does).
+    */
+  def decode(bytes: Array[Byte]): String = {
+    val cs =
+      try java.nio.charset.Charset.forName(sniff(bytes))
+      catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    val s = new String(bytes, cs)
+    // strip a decoded BOM so it can't leak into text extraction
+    if (s.nonEmpty && s.charAt(0) == '\uFEFF') s.substring(1) else s
+  }
+}
+
+/** Sitemap / sitemap-index parsing: the machine-generated XML is regular
+  * enough for the lenient HTML kernel parser, and `<loc>` extraction is a
+  * plain selector query — one more consumer of the same kernel (no XML
+  * library, none exists in this sandbox's dependency set).
+  */
+object Sitemap {
+
+  /** All `<loc>` values (urlset entries AND nested sitemap-index entries),
+    * document order, trimmed.
+    */
+  def locations(xml: String): Seq[String] = {
+    val root = graft.kernel.HtmlParser.parse(xml)
+    graft.kernel.Query
+      .querySelectorAll(root, graft.kernel.Query.compileUnion("loc"))
+      .map(_.text.trim).toSeq
+  }
+}
