@@ -580,6 +580,71 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("n_item_desc"), lit(0L)).as("n_item_desc"),
           coalesce(col("n_p_in_div"), lit(0L)).as("n_p_in_div"))
+    }),
+
+    "q56_repetition" -> ((s, dir) => {
+      // Gopher-style repetition quality signals: docs with doc_id%6==0 get
+      // a repeated spam phrase appended, so the gate has real positives to
+      // catch; grams built in one projection, two map-side-combined aggs
+      val aug = when(col("doc_id") % 6 === 0,
+        concat(col("text"), lit(" "),
+          expr("repeat('click here now ', cast(doc_id % 4 + 2 as int))")))
+        .otherwise(col("text"))
+      graft.ops.TextAnalysis.repetitionSignals(
+        docs(s, dir).select(col("doc_id"), aug.as("text")))
+    }),
+
+    "q57_line_dedup" -> ((s, dir) => {
+      // CCNet-style corpus-wide line dedup: every 4th doc carries the same
+      // 10-token cookie-banner line, which must survive exactly once
+      // corpus-wide; min-struct agg + join-back (partial agg defuses the
+      // hot-line skew a window over the line key would suffer)
+      val aug = when(col("doc_id") % 4 === 0,
+        concat(lit("cookie notice accept all cookies to continue reading this site "),
+          col("text")))
+        .otherwise(col("text"))
+      graft.ops.TextAnalysis.lineDedup(
+        docs(s, dir).select(col("doc_id"), aug.as("text")))
+    }),
+
+    "q58_pii_scrub" -> ((s, dir) => {
+      // PII redaction: deterministic email/IPv4/phone injected per doc,
+      // counted then replaced by typed placeholders — pure regexp Column
+      // expressions, map-only, whole-stage codegen end to end
+      val aug = concat(col("text"),
+        lit(" contact user"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
+        lit(".example.com from 10."), col("doc_id") % 256, lit(".0."),
+        col("doc_id") % 100, lit(" call +1-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      graft.ops.PiiScrub.scrub(
+        docs(s, dir).select(col("doc_id"), aug.as("text")))
+        .select("doc_id", "n_email", "n_ip", "n_phone", "scrubbed")
+    }),
+
+    "q59_jsonld" -> ((s, dir) => {
+      // schema.org JSON-LD extraction: script[type="application/ld+json"]
+      // bodies come through the kernel's raw-text path VERBATIM (the
+      // &amp; in the headline pins that no entity decode corrupts JSON);
+      // field access is codegen'd get_json_object downstream of the kernel
+      val json1 = concat(lit("{\"@type\":\"Article\",\"headline\":\"Doc "),
+        col("doc_id"), lit(" &amp; x\",\"wordCount\":"),
+        size(split(col("text"), " ")), lit("}"))
+      val json2 = concat(
+        lit("{\"@type\":\"Breadcrumb\",\"position\":"), col("doc_id") % 3, lit("}"))
+      val page = concat(
+        lit("<html><head><script type=\"application/ld+json\">"), json1,
+        lit("</script></head><body><p>x</p>"),
+        when(col("doc_id") % 5 === 0,
+          concat(lit("<script type=\"application/ld+json\">"), json2,
+            lit("</script>"))).otherwise(lit("")),
+        lit("</body></html>"))
+      graft.ops.PageMeta.jsonLd(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .select(col("doc_id"), col("block_idx").cast("long").as("block_idx"),
+          get_json_object(col("json"), "$['@type']").as("jtype"),
+          get_json_object(col("json"), "$.headline").as("headline"),
+          get_json_object(col("json"), "$.wordCount").cast("long").as("word_count"),
+          get_json_object(col("json"), "$.position").cast("long").as("position"))
     })
   )
 
@@ -925,7 +990,74 @@ object SparkEntry {
         ("SELECT doc_id, " +
           "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE doc_id % 5 + 1 END AS bigint) AS n_item_desc, " +
           "cast(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS bigint) AS n_p_in_div " +
-          "FROM documents")
+          "FROM documents"),
+      "q56_repetition" ->
+        ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 6 = 0 THEN " +
+          "concat(text, ' ', repeat('click here now ', cast(doc_id % 4 + 2 AS int))) " +
+          "ELSE text END AS text FROM documents), " +
+          "t AS (SELECT doc_id, length(text) AS n_chars, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM d), " +
+          "g AS (SELECT doc_id, 2 AS n, concat(toks[i], ' ', toks[i+1]) AS gram " +
+          "FROM t, unnest(range(1, len(toks))) AS r(i) " +
+          "UNION ALL " +
+          "SELECT doc_id, 3 AS n, concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) AS gram " +
+          "FROM t, unnest(range(1, len(toks) - 1)) AS r(i)), " +
+          "c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY doc_id, n, gram), " +
+          "a AS (SELECT doc_id, " +
+          "max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS top2, " +
+          "sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * length(gram) END) AS dup3 " +
+          "FROM c GROUP BY doc_id), " +
+          "f AS (SELECT t.doc_id, t.n_chars, " +
+          "cast(coalesce(a.top2, 0) AS bigint) AS top2_chars, " +
+          "cast(coalesce(a.dup3, 0) AS bigint) AS dup3_chars " +
+          "FROM t LEFT JOIN a USING (doc_id)) " +
+          "SELECT doc_id, n_chars, top2_chars, dup3_chars, " +
+          "CASE WHEN n_chars > 0 THEN cast(top2_chars AS double) / n_chars ELSE 0.0 END AS top2gram_frac, " +
+          "CASE WHEN n_chars > 0 THEN cast(dup3_chars AS double) / n_chars ELSE 0.0 END AS dup3gram_frac, " +
+          "((CASE WHEN n_chars > 0 THEN cast(top2_chars AS double) / n_chars ELSE 0.0 END) <= 0.20 " +
+          "AND (CASE WHEN n_chars > 0 THEN cast(dup3_chars AS double) / n_chars ELSE 0.0 END) <= 0.18) AS rep_pass " +
+          "FROM f"),
+      "q57_line_dedup" ->
+        ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 4 = 0 THEN " +
+          "concat('cookie notice accept all cookies to continue reading this site ', text) " +
+          "ELSE text END AS text FROM documents), " +
+          "t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM d), " +
+          "l AS (SELECT doc_id, i AS line_idx, " +
+          "array_to_string(toks[i * 10 + 1 : i * 10 + 10], ' ') AS line " +
+          "FROM t, unnest(range(0, cast(ceil(len(toks) / 10.0) AS bigint))) AS r(i)), " +
+          "k AS (SELECT doc_id, line_idx, line, " +
+          "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn FROM l), " +
+          "a AS (SELECT doc_id, count(*) AS n_lines, " +
+          "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, " +
+          "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, ' ' ORDER BY line_idx), '') AS cleaned_text " +
+          "FROM k GROUP BY doc_id) " +
+          "SELECT d.doc_id, cast(coalesce(a.n_lines, 0) AS bigint) AS n_lines, " +
+          "cast(coalesce(a.n_kept, 0) AS bigint) AS n_kept, " +
+          "coalesce(a.cleaned_text, '') AS cleaned_text " +
+          "FROM d LEFT JOIN a USING (doc_id)"),
+      "q58_pii_scrub" -> {
+        val email = graft.ops.PiiScrub.EmailRe
+        val ip = graft.ops.PiiScrub.Ipv4Re
+        val phone = graft.ops.PiiScrub.PhoneRe
+        "WITH d AS (SELECT doc_id, concat(text, ' contact user', doc_id, '@mail', " +
+          "doc_id % 7, '.example.com from 10.', doc_id % 256, '.0.', doc_id % 100, " +
+          "' call +1-555-', lpad(cast(doc_id % 10000 AS varchar), 4, '0')) AS text " +
+          "FROM documents) " +
+          s"SELECT doc_id, cast(len(regexp_extract_all(text, '$email')) AS bigint) AS n_email, " +
+          s"cast(len(regexp_extract_all(text, '$ip')) AS bigint) AS n_ip, " +
+          s"cast(len(regexp_extract_all(text, '$phone')) AS bigint) AS n_phone, " +
+          s"regexp_replace(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), " +
+          s"'$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS scrubbed " +
+          "FROM d"
+      },
+      "q59_jsonld" ->
+        ("SELECT doc_id, cast(0 AS bigint) AS block_idx, 'Article' AS jtype, " +
+          "concat('Doc ', doc_id, ' &amp; x') AS headline, " +
+          "cast(len(string_split(text, ' ')) AS bigint) AS word_count, " +
+          "cast(NULL AS bigint) AS position FROM documents " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(1 AS bigint), 'Breadcrumb', NULL, NULL, " +
+          "cast(doc_id % 3 AS bigint) FROM documents WHERE doc_id % 5 = 0")
     )
   }
 }

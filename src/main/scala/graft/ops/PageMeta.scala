@@ -90,6 +90,38 @@ object PageMeta {
       }
   }
 
+  /** Structured-data (JSON-LD) extraction: the schema.org payloads sites
+    * embed in `<script type="application/ld+json">` blocks — the highest-
+    * precision metadata a crawl carries (article headlines, authors,
+    * dates), extracted by every serious web pipeline. One kernel parse per
+    * page, selector compiled once per partition; the script body comes via
+    * `rawText` (the raw-text fast path — reference src/index.ts:879–884 —
+    * keeps it verbatim, with NO entity decode: decoding would corrupt JSON
+    * containing `&`). Blocks emit in document order with their index, one
+    * row per block; downstream JSON field access is left to Spark's
+    * codegen'd `get_json_object`/`from_json`, not the kernel.
+    */
+  def jsonLd(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sel = Query.compileUnion("script[type=\"application/ld+json\"]")
+        // script=true: the reference's default drops script BODIES
+        // (reference src/index.ts:16, 936–959); JSON-LD lives in them
+        val opts = graft.kernel.ParseOptions(script = true)
+        it.flatMap { case (id, html) =>
+          val root = HtmlParser.parse(
+            new String(html, java.nio.charset.StandardCharsets.UTF_8), opts)
+          Query.querySelectorAll(root, sel).iterator.zipWithIndex.map {
+            case (s, i) => (id, i, s.rawText)
+          }
+        }
+      }
+      .toDF("doc_id", "block_idx", "json")
+  }
+
   /** Degree metrics over an edge table: out-degree per source doc plus the
     * in-degree of every distinct target. Two hash aggregations — the
     * partial/final split makes both map-side-combining at any scale.

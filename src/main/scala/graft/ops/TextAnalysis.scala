@@ -232,4 +232,114 @@ object TextAnalysis {
       .agg(countDistinct(col("fingerprint")).as("n_shared_fp"),
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
+
+  /** Gopher-style REPETITION signals (Rae et al. 2021, table A1): the
+    * quality filters that catch boilerplate/spam which per-token stats
+    * miss. Per document:
+    *
+    *   - `top2_chars` — characters covered by the single most-covering
+    *     word bigram (count × gram length); `top2gram_frac` = that /
+    *     total chars. Boilerplate pages repeat one phrase.
+    *   - `dup3_chars` — characters covered by ALL word trigrams occurring
+    *     ≥2 times; `dup3gram_frac` likewise.
+    *   - `rep_pass` — the Gopher-ish gate (≤0.20 / ≤0.18).
+    *
+    * Shape at scale: grams are built as array columns in ONE projection
+    * (no window, no per-doc sort), exploded once, then hash-aggregated
+    * twice — (doc_id, n, gram) → (doc_id). Both aggs are partial
+    * (map-side combined), so the shuffle carries distinct grams per
+    * partition, not occurrences; the final join back to `docs` is on
+    * doc_id. Every ratio is an exact-integer division so the DuckDB
+    * oracle reproduces the IEEE doubles bit-for-bit.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String = "text",
+      maxTop2Frac: Double = 0.20, maxDup3Frac: Double = 0.18): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), explode(concat(
+        when(size(col("toks")) >= 2,
+          expr("transform(sequence(0, size(toks) - 2), " +
+            "i -> named_struct('n', 2, 'gram', concat(toks[i], ' ', toks[i+1])))"))
+          .otherwise(expr("array()")),
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> named_struct('n', 3, 'gram', concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])))"))
+          .otherwise(expr("array()")))).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.gram").as("gram"))
+      .groupBy("doc_id", "n", "gram").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id").agg(
+        max(when(col("n") === 2, col("cnt") * length(col("gram"))))
+          .cast("long").as("top2_chars"),
+        coalesce(sum(when(col("n") === 3 && col("cnt") >= 2,
+          col("cnt") * length(col("gram")))), lit(0L))
+          .cast("long").as("dup3_chars"))
+    docs.select(col("doc_id"), length(col(textCol)).cast("long").as("n_chars"))
+      .join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("top2_chars"), lit(0L)).as("top2_chars"),
+        coalesce(col("dup3_chars"), lit(0L)).as("dup3_chars"))
+      .withColumn("top2gram_frac",
+        when(col("n_chars") > 0,
+          col("top2_chars").cast("double") / col("n_chars").cast("double"))
+          .otherwise(0.0))
+      .withColumn("dup3gram_frac",
+        when(col("n_chars") > 0,
+          col("dup3_chars").cast("double") / col("n_chars").cast("double"))
+          .otherwise(0.0))
+      .withColumn("rep_pass",
+        col("top2gram_frac") <= maxTop2Frac && col("dup3gram_frac") <= maxDup3Frac)
+  }
+
+  /** CCNet-style corpus-wide LINE dedup (Wenzek et al. 2020 §3.1: drop
+    * duplicated lines/paragraphs across the whole crawl before document
+    * dedup — removes navigation chrome, cookie banners, boilerplate
+    * headers that repeat on every page of a site). Lines here are
+    * deterministic `lineTokens`-word chunks of the whitespace token
+    * stream (the sf tables carry no newlines; over real extracted text
+    * pass structuredText and split on '\n' upstream).
+    *
+    * Keep rule: a line survives iff it is the FIRST occurrence corpus-wide
+    * (order = (doc_id, line_idx)). Implemented as a min-STRUCT hash
+    * aggregate per line + an equi-join back — NOT a window over the line
+    * key: partial aggregation collapses each line to one row per map
+    * partition before the shuffle, so a line duplicated a million times
+    * (the exact pathology this op targets) costs one shuffle row per
+    * partition instead of a million-row sorted window partition.
+    *
+    * Output per doc: n_lines, n_kept, cleaned_text (kept lines re-joined
+    * in order; '' when everything was boilerplate).
+    */
+  def lineDedup(docs: DataFrame, lineTokens: Int = 10,
+      textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x <> '')").as("toks"))
+      .select(col("doc_id"), posexplode(
+        when(size(col("toks")) > 0,
+          expr(s"transform(sequence(0, size(toks) - 1, $lineTokens), " +
+            s"i -> array_join(slice(toks, i + 1, $lineTokens), ' '))"))
+          .otherwise(expr("array()"))))
+      .withColumnRenamed("pos", "line_idx")
+      .withColumnRenamed("col", "line")
+    val firsts = lines
+      .groupBy("line")
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+    val kept = lines.join(firsts, "line")
+      .withColumn("keep",
+        col("doc_id") === col("first.doc_id") &&
+          col("line_idx") === col("first.line_idx"))
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+      array_join(transform(array_sort(collect_list(
+        when(col("keep"), struct(col("line_idx"), col("line"))))),
+        s => s("line")), " ").as("cleaned_text"))
+    docs.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("cleaned_text"), lit("")).as("cleaned_text"))
+  }
 }

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-3 training-data ops: repetition signals, corpus-wide line dedup,
+  * PII scrubbing, JSON-LD extraction.
+  */
+class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  @transient private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .appName("training-ops-spec")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docsOf(texts: (Long, String)*) = {
+    import spark.implicits._
+    texts.toDF("doc_id", "text")
+  }
+
+  test("repetitionSignals: hand-computed fractions on a repeated-phrase doc") {
+    // toks = [a,b,a,b,a,b], n_chars = 11
+    // bigrams: "a b"×3 (3*3=9), "b a"×2 (2*3=6) → top2_chars = 9
+    // trigrams ≥2: "a b a"×2, "b a b"×2 → dup3_chars = 2*5 + 2*5 = 20
+    val r = TextAnalysis.repetitionSignals(docsOf(1L -> "a b a b a b"))
+      .collect().head
+    assert(r.getAs[Long]("n_chars") == 11L)
+    assert(r.getAs[Long]("top2_chars") == 9L)
+    assert(r.getAs[Long]("dup3_chars") == 20L)
+    assert(r.getAs[Double]("top2gram_frac") == 9.0 / 11.0)
+    assert(!r.getAs[Boolean]("rep_pass"))
+  }
+
+  test("repetitionSignals: diverse text passes the gate; degenerate docs are safe") {
+    val out = TextAnalysis.repetitionSignals(docsOf(
+      1L -> ("the quick brown fox jumps over one lazy dog today while " +
+        "seven other animals watch from a distant hill near the old river"),
+      2L -> "solo",   // no bigrams at all
+      3L -> ""))      // no tokens
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("rep_pass"))
+    assert(out(1L).getAs[Long]("dup3_chars") == 0L)
+    assert(out(2L).getAs[Long]("top2_chars") == 0L)
+    assert(out(3L).getAs[Long]("n_chars") == 0L)
+    assert(out(3L).getAs[Double]("top2gram_frac") == 0.0)
+  }
+
+  test("lineDedup keeps only the first corpus-wide occurrence of a line") {
+    val out = TextAnalysis.lineDedup(docsOf(
+      0L -> "a b c d a b",  // lines(2): ["a b","c d","a b"]
+      1L -> "a b x y",      // "a b" already seen in doc 0
+      2L -> ""),
+      lineTokens = 2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_lines") == 3L)
+    assert(out(0L).getAs[Long]("n_kept") == 2L) // within-doc repeat dropped too
+    assert(out(0L).getAs[String]("cleaned_text") == "a b c d")
+    assert(out(1L).getAs[Long]("n_kept") == 1L)
+    assert(out(1L).getAs[String]("cleaned_text") == "x y")
+    assert(out(2L).getAs[Long]("n_lines") == 0L)
+    assert(out(2L).getAs[String]("cleaned_text") == "")
+  }
+
+  test("lineDedup: a ragged tail chunk is its own line") {
+    val out = TextAnalysis.lineDedup(docsOf(0L -> "p q r"), lineTokens = 2)
+      .collect().head
+    assert(out.getAs[Long]("n_lines") == 2L) // "p q", "r"
+    assert(out.getAs[String]("cleaned_text") == "p q r")
+  }
+
+  test("PiiScrub counts and redacts email, ipv4, phone") {
+    val out = PiiScrub.scrub(docsOf(
+      1L -> "reach bob.smith+x@mail.example.org or 192.168.0.1 call +44-020-123-4567 now",
+      2L -> "no pii here at all"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_email") == 1L)
+    assert(out(1L).getAs[Long]("n_ip") == 1L)
+    assert(out(1L).getAs[Long]("n_phone") == 1L)
+    assert(out(1L).getAs[String]("scrubbed") ==
+      "reach <EMAIL> or <IP> call <PHONE> now")
+    assert(out(2L).getAs[Long]("n_email") == 0L)
+    assert(out(2L).getAs[String]("scrubbed") == "no pii here at all")
+  }
+
+  test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
+    import spark.implicits._
+    val html =
+      """<html><head><script type="application/ld+json">{"a":"x &amp; y"}</script>
+        |<script>var ignored = 1;</script></head>
+        |<body><script type="application/ld+json">{"b":2}</script></body></html>"""
+        .stripMargin.replace("\n", "")
+    val pages = Seq((7L, html.getBytes("UTF-8"))).toDF("doc_id", "html")
+    val rows = PageMeta.jsonLd(pages)
+      .orderBy("block_idx").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Int]("block_idx") == 0)
+    // &amp; survives verbatim — entity decode would corrupt JSON payloads
+    assert(rows(0).getAs[String]("json") == """{"a":"x &amp; y"}""")
+    assert(rows(1).getAs[String]("json") == """{"b":2}""")
+  }
+}
