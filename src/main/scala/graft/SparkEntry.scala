@@ -645,7 +645,39 @@ object SparkEntry {
           get_json_object(col("json"), "$.headline").as("headline"),
           get_json_object(col("json"), "$.wordCount").cast("long").as("word_count"),
           get_json_object(col("json"), "$.position").cast("long").as("position"))
-    })
+    }),
+
+    "q60_host_curation" -> ((s, dir) => {
+      // host-reputation rollup — the table a crawl curator reads to
+      // blocklist hosts: per-host docs, parse-error count, quality pass
+      // rate, duplicated-content count. Composes extraction + gate +
+      // dup-detection; host skew is real (Synth routes half the corpus to
+      // host-0) and harmless here because every agg is map-side combined.
+      val parsed = ExtractJob.run(Synth.pages(s, dir)).toDF()
+      val gated = graft.ops.TextAnalysis.qualityGate(parsed,
+        minChars = 60, minTokens = 12, maxPunctRatio = 0.3,
+        minUniqRatio = 0.55, textCol = "text_out")
+        .withColumn("fp", md5(encode(col("text_out"), "UTF-8")))
+      val sizes = gated.groupBy("fp").agg(count(lit(1)).as("n_same"))
+      gated.join(sizes, "fp")
+        .withColumn("host", graft.ops.UrlOps.urlHost(col("url")))
+        .groupBy("host").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(!col("parse_ok"), 1L).otherwise(0L)).as("n_parse_err"),
+          sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_q_pass"),
+          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .withColumn("q_pass_rate",
+          col("n_q_pass").cast("double") / col("n_docs").cast("double"))
+    }),
+
+    "q61_stratified_sample" -> ((s, dir) =>
+      // reproducible training-mix cut: per-language md5-hex-threshold
+      // sampling (en ~25%, zh ~50%, everything else ~75%) — no RNG, same
+      // cut on every run/retry/cluster size; map-only, pushes to the scan
+      graft.ops.TextAnalysis.hashSample(docs(s, dir),
+        thresholds = Map("en" -> "4000", "zh" -> "8000"),
+        defaultThreshold = "c000")
+        .select("doc_id", "lang"))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1057,7 +1089,31 @@ object SparkEntry {
           "cast(NULL AS bigint) AS position FROM documents " +
           "UNION ALL " +
           "SELECT doc_id, cast(1 AS bigint), 'Breadcrumb', NULL, NULL, " +
-          "cast(doc_id % 3 AS bigint) FROM documents WHERE doc_id % 5 = 0")
+          "cast(doc_id % 3 AS bigint) FROM documents WHERE doc_id % 5 = 0"),
+      "q60_host_curation" ->
+        ("WITH ex AS (SELECT doc_id, lang, " +
+          "CASE WHEN doc_id % 2 = 0 THEN 'host-0.example' " +
+          "ELSE concat('host-', doc_id % 50, '.example') END AS host, " +
+          "(doc_id % 7 <> 0) AS parse_ok, " +
+          s"CASE WHEN doc_id % 7 = 0 THEN $trimmed " +
+          s"ELSE concat($trimmed, chr(10), repeat(concat(lang, chr(10)), cast(doc_id % 5 + 1 AS int)), 'link') END AS t " +
+          "FROM documents), " +
+          "g AS (SELECT *, (length(t) >= 60 " +
+          "AND len(string_split_regex(t, '\\s+')) >= 12 " +
+          "AND (length(t) - length(regexp_replace(t, '[!-/:-@\\[-`{-~]', '', 'g')))::double / length(t) <= 0.3 " +
+          "AND len(list_distinct(string_split_regex(t, '\\s+')))::double / len(string_split_regex(t, '\\s+')) >= 0.55) AS q_pass FROM ex), " +
+          "c AS (SELECT t, count(*) AS n_same FROM g GROUP BY t), " +
+          "j AS (SELECT g.*, c.n_same FROM g JOIN c USING (t)) " +
+          "SELECT host, count(*) AS n_docs, " +
+          "cast(sum(CASE WHEN NOT parse_ok THEN 1 ELSE 0 END) AS bigint) AS n_parse_err, " +
+          "cast(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS bigint) AS n_q_pass, " +
+          "cast(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dup, " +
+          "cast(sum(CASE WHEN q_pass THEN 1 ELSE 0 END) AS double) / count(*) AS q_pass_rate " +
+          "FROM j GROUP BY host"),
+      "q61_stratified_sample" ->
+        ("SELECT doc_id, lang FROM documents " +
+          "WHERE substr(md5(concat(doc_id, ':graft')), 1, 4) < " +
+          "CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000' ELSE 'c000' END")
     )
   }
 }

@@ -233,6 +233,30 @@ object TextAnalysis {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Deterministic STRATIFIED SAMPLING — the reproducible way to cut a
+    * training mix from a 10^12-doc corpus: per-stratum keep-rates applied
+    * by comparing a hex prefix of md5(key) against a per-stratum hex
+    * threshold ("0a00" ≈ 3.9%, "8000" = 50%). No RNG, no seed plumbing:
+    * the same document makes the same cut decision on every run, every
+    * retry, every cluster size — which is what makes sampled pipelines
+    * RESUMABLE (a re-run after partial failure reproduces the identical
+    * sample, so committed output never disagrees with recomputed output).
+    * Map-only, whole-stage codegen; the filter pushes to the scan boundary.
+    *
+    * `thresholds` maps stratum value → 4-hex-digit threshold; strata not
+    * listed use `defaultThreshold`.
+    */
+  def hashSample(docs: DataFrame, thresholds: Map[String, String],
+      defaultThreshold: String = "ffff", stratumCol: String = "lang",
+      keyCol: String = "doc_id", salt: String = "graft"): DataFrame = {
+    val key = md5(encode(
+      concat(col(keyCol).cast("string"), lit(":" + salt)), "UTF-8"))
+    val thr = thresholds.foldLeft(lit(defaultThreshold)) {
+      case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
+    }
+    docs.filter(substring(key, 1, 4) < thr)
+  }
+
   /** Gopher-style REPETITION signals (Rae et al. 2021, table A1): the
     * quality filters that catch boilerplate/spam which per-token stats
     * miss. Per document:

@@ -92,6 +92,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[String]("scrubbed") == "no pii here at all")
   }
 
+  test("hashSample is deterministic, nested by threshold, and roughly calibrated") {
+    import spark.implicits._
+    val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val narrow = TextAnalysis.hashSample(docs, Map("en" -> "4000"), "8000")
+      .collect().map(_.getLong(0)).toSet
+    val narrow2 = TextAnalysis.hashSample(docs, Map("en" -> "4000"), "8000")
+      .collect().map(_.getLong(0)).toSet
+    assert(narrow == narrow2) // same cut on every run — resumability
+    val wide = TextAnalysis.hashSample(docs, Map("en" -> "8000"), "ffff")
+      .collect().map(_.getLong(0)).toSet
+    assert(narrow.subsetOf(wide)) // raising thresholds only ADDS documents
+    // ~25% of 1000 en docs and ~50% of 1000 fr docs, generous tolerance
+    val en = narrow.count(_ % 2 == 0)
+    val fr = narrow.count(_ % 2 == 1)
+    assert(en > 150 && en < 350, s"en sample was $en")
+    assert(fr > 400 && fr < 600, s"fr sample was $fr")
+  }
+
   test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
     import spark.implicits._
     val html =
