@@ -677,7 +677,22 @@ object SparkEntry {
       graft.ops.TextAnalysis.hashSample(docs(s, dir),
         thresholds = Map("en" -> "4000", "zh" -> "8000"),
         defaultThreshold = "c000")
-        .select("doc_id", "lang"))
+        .select("doc_id", "lang")),
+
+    "q62_pagerank" -> ((s, dir) => {
+      // crawl seed-selection centrality: 3 iterations of INTEGER-arithmetic
+      // PageRank over the q48-shaped link graph — integer division makes
+      // every step order-independent, so the distributed result is
+      // hash-identical to the oracle's unrolled iterations (float PageRank
+      // could never be hash-gated: IEEE addition isn't associative)
+      val edges = docs(s, dir).select(
+        (col("doc_id") % 100).as("src"),
+        explode(expr("transform(sequence(1, cast(doc_id % 5 + 1 as int)), " +
+          "i -> (doc_id * 7 + i) % 100)")).as("dst"))
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      graft.ops.LinkGraph.pageRankInt(nodes, edges, iters = 3)
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -1113,7 +1128,26 @@ object SparkEntry {
       "q61_stratified_sample" ->
         ("SELECT doc_id, lang FROM documents " +
           "WHERE substr(md5(concat(doc_id, ':graft')), 1, 4) < " +
-          "CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000' ELSE 'c000' END")
+          "CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000' ELSE 'c000' END"),
+      "q62_pagerank" ->
+        ("WITH e AS (SELECT doc_id % 100 AS src, (doc_id * 7 + i) % 100 AS dst " +
+          "FROM documents, unnest(range(1, cast(doc_id % 5 + 2 AS int))) AS t(i)), " +
+          "n AS (SELECT src AS node FROM e UNION SELECT dst FROM e), " +
+          "o AS (SELECT src, count(*) AS od FROM e GROUP BY src), " +
+          "r0 AS (SELECT node, cast(1000000 AS bigint) AS rank FROM n), " +
+          "s1 AS (SELECT e.dst, sum(r0.rank // o.od) AS sh FROM e " +
+          "JOIN r0 ON e.src = r0.node JOIN o ON e.src = o.src GROUP BY e.dst), " +
+          "r1 AS (SELECT n.node, cast(150000 + (85 * coalesce(s1.sh, 0)) // 100 AS bigint) AS rank " +
+          "FROM n LEFT JOIN s1 ON n.node = s1.dst), " +
+          "s2 AS (SELECT e.dst, sum(r1.rank // o.od) AS sh FROM e " +
+          "JOIN r1 ON e.src = r1.node JOIN o ON e.src = o.src GROUP BY e.dst), " +
+          "r2 AS (SELECT n.node, cast(150000 + (85 * coalesce(s2.sh, 0)) // 100 AS bigint) AS rank " +
+          "FROM n LEFT JOIN s2 ON n.node = s2.dst), " +
+          "s3 AS (SELECT e.dst, sum(r2.rank // o.od) AS sh FROM e " +
+          "JOIN r2 ON e.src = r2.node JOIN o ON e.src = o.src GROUP BY e.dst), " +
+          "r3 AS (SELECT n.node, cast(150000 + (85 * coalesce(s3.sh, 0)) // 100 AS bigint) AS rank " +
+          "FROM n LEFT JOIN s3 ON n.node = s3.dst) " +
+          "SELECT node, rank FROM r3")
     )
   }
 }

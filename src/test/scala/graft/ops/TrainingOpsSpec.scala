@@ -111,6 +111,25 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fr > 400 && fr < 600, s"fr sample was $fr")
   }
 
+  test("pageRankInt: cycle is a fixed point; fan-out matches hand arithmetic") {
+    import spark.implicits._
+    // 3-cycle, out_deg 1 everywhere: rank = unit is exactly stationary
+    // (base + damp*unit/100 = 150000 + 850000 = unit)
+    val cyc = LinkGraph.pageRankInt(
+      Seq(1L, 2L, 3L).toDF("node"),
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cyc == Map(1L -> 1000000L, 2L -> 1000000L, 3L -> 1000000L))
+    // fan-out 1 -> {2,3}, 2/3 dangling; two iterations by hand:
+    // r1: 1=150000, 2=3=150000+85*500000/100=575000
+    // r2: 1=150000, 2=3=150000+85*(150000 div 2)/100=213750
+    val fan = LinkGraph.pageRankInt(
+      Seq(1L, 2L, 3L).toDF("node"),
+      Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fan == Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
+  }
+
   test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
     import spark.implicits._
     val html =
