@@ -692,7 +692,18 @@ object SparkEntry {
       val nodes = edges.select(col("src").as("node"))
         .union(edges.select(col("dst").as("node"))).distinct()
       graft.ops.LinkGraph.pageRankInt(nodes, edges, iters = 3)
-    })
+    }),
+
+    "q63_dup_spans" -> ((s, dir) =>
+      // span-level dup analysis (Lee et al. 2022): winnowing fingerprints
+      // shared across >=2 docs, per-doc shared fraction; the oracle
+      // recomputes from the independent Python winnow fixture
+      graft.ops.TextAnalysis.dupSpanStats(docs(s, dir))),
+
+    "q64_typicality" -> ((s, dir) =>
+      // inter-doc quality signal: mean token document-frequency — exact
+      // integer counts, df table broadcast-able at scale
+      graft.ops.TextAnalysis.typicality(docs(s, dir)))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1147,7 +1158,23 @@ object SparkEntry {
           "JOIN r2 ON e.src = r2.node JOIN o ON e.src = o.src GROUP BY e.dst), " +
           "r3 AS (SELECT n.node, cast(150000 + (85 * coalesce(s3.sh, 0)) // 100 AS bigint) AS rank " +
           "FROM n LEFT JOIN s3 ON n.node = s3.dst) " +
-          "SELECT node, rank FROM r3")
+          "SELECT node, rank FROM r3"),
+      "q63_dup_spans" ->
+        ("WITH fp AS (SELECT d.doc_id, f.fingerprint FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/winnow_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5), " +
+          "spread AS (SELECT fingerprint, count(DISTINCT doc_id) AS ndocs " +
+          "FROM fp GROUP BY fingerprint) " +
+          "SELECT doc_id, count(*) AS n_fp, " +
+          "cast(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_shared_fp, " +
+          "cast(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS double) / count(*) AS shared_frac " +
+          "FROM fp JOIN spread USING (fingerprint) GROUP BY doc_id"),
+      "q64_typicality" ->
+        ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+          "dfp AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok) " +
+          "SELECT doc_id, count(*) AS n_tok, cast(sum(df) AS bigint) AS sum_df, " +
+          "cast(sum(df) AS double) / count(*) AS typicality " +
+          "FROM t JOIN dfp USING (tok) GROUP BY doc_id")
     )
   }
 }

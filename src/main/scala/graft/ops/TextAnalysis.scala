@@ -233,6 +233,56 @@ object TextAnalysis {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Duplicated-SPAN statistics (the analysis half of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"): document
+    * dedup misses partially-copied text — a page that quotes half of
+    * another page survives doc-level dedup but still double-counts those
+    * spans in training. Spans are tracked as winnowing fingerprints
+    * ([[fingerprints]]); a span is SHARED when its fingerprint appears in
+    * ≥2 distinct documents. Output per doc: total spans, shared spans, and
+    * the shared fraction (exact-integer division) — the signal a pipeline
+    * thresholds to route docs into span-level rewriting.
+    *
+    * Shape: explode → distinct-count per fingerprint (map-side combined) →
+    * equi-join back → per-doc agg. The fingerprint df table is tiny
+    * relative to the corpus (winnowing keeps ~2/(guarantee) of positions),
+    * broadcast-able at scale.
+    */
+  def dupSpanStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val fps = fingerprints(docs, textCol)
+    val spread = fps.groupBy("fingerprint")
+      .agg(countDistinct("doc_id").as("ndocs"))
+    fps.join(spread, "fingerprint")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_fp"),
+        sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
+      .withColumn("shared_frac",
+        col("n_shared_fp").cast("double") / col("n_fp").cast("double"))
+  }
+
+  /** Corpus-TYPICALITY score: mean document frequency of a doc's tokens —
+    * the cheap distribution-fit quality signal (OCR garbage, codes, and
+    * boilerplate-free spam score LOW because their tokens appear in few
+    * other documents; navigational boilerplate scores suspiciously HIGH).
+    * Complements [[qualityScore]]'s intra-doc ratios with an inter-doc
+    * signal, and unlike an n-gram LM it needs no float log-probs — exact
+    * integer counts and one final division, so it hash-gates.
+    *
+    * Shape: token df table (two map-side-combined aggs) then an equi-join
+    * back to token occurrences — df is vocabulary-sized, broadcast-able.
+    */
+  def typicality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(col(textCol), " ")).as("tok"))
+    val dfTab = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    toks.join(dfTab, "tok")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tok"),
+        sum("df").as("sum_df"))
+      .withColumn("typicality",
+        col("sum_df").cast("double") / col("n_tok").cast("double"))
+  }
+
   /** Deterministic STRATIFIED SAMPLING — the reproducible way to cut a
     * training mix from a 10^12-doc corpus: per-stratum keep-rates applied
     * by comparing a hex prefix of md5(key) against a per-stratum hex

@@ -130,6 +130,29 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fan == Map(1L -> 150000L, 2L -> 213750L, 3L -> 213750L))
   }
 
+  test("dupSpanStats flags a shared passage, not unrelated text") {
+    val shared = "the quick brown fox jumps over the lazy dog again and again today"
+    val out = TextAnalysis.dupSpanStats(docsOf(
+      1L -> ("AAAA unique lead-in before " + shared),
+      2L -> (shared + " with a different unique tail CCCC"),
+      3L -> "completely unrelated content nothing here matches anything at all"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_shared_fp") > 0L)
+    assert(out(2L).getAs[Long]("n_shared_fp") > 0L)
+    assert(out(3L).getAs[Long]("n_shared_fp") == 0L)
+    assert(out(3L).getAs[Double]("shared_frac") == 0.0)
+  }
+
+  test("typicality: hand-computed mean document frequency") {
+    val out = TextAnalysis.typicality(docsOf(1L -> "a b", 2L -> "a c"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // df: a=2, b=1, c=1 → each doc: (2+1)/2 = 1.5
+    assert(out(1L).getAs[Long]("n_tok") == 2L)
+    assert(out(1L).getAs[Long]("sum_df") == 3L)
+    assert(out(1L).getAs[Double]("typicality") == 1.5)
+    assert(out(2L).getAs[Double]("typicality") == 1.5)
+  }
+
   test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
     import spark.implicits._
     val html =
