@@ -703,7 +703,22 @@ object SparkEntry {
     "q64_typicality" -> ((s, dir) =>
       // inter-doc quality signal: mean token document-frequency — exact
       // integer counts, df table broadcast-able at scale
-      graft.ops.TextAnalysis.typicality(docs(s, dir)))
+      graft.ops.TextAnalysis.typicality(docs(s, dir))),
+
+    "q65_crawl_delta" -> ((s, dir) => {
+      // recrawl delta: old snapshot = documents as-is; new snapshot drops
+      // every 10th url, modifies every (remaining) 3rd, adds urls above
+      // 20000 — ONE full-outer join on 32-byte fingerprints classifies all
+      // four statuses, the gate that lets steady-state recrawls skip
+      // re-extraction of the unchanged majority
+      val base = docs(s, dir)
+      val newSnap = base.filter(col("doc_id") % 10 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" updated"))).otherwise(col("text")))
+        .unionByName(base.filter(col("doc_id") % 8 === 0)
+          .withColumn("doc_id", col("doc_id") + 20000))
+      graft.ops.CrawlDelta.delta(base, newSnap)
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -1174,7 +1189,14 @@ object SparkEntry {
           "dfp AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok) " +
           "SELECT doc_id, count(*) AS n_tok, cast(sum(df) AS bigint) AS sum_df, " +
           "cast(sum(df) AS double) / count(*) AS typicality " +
-          "FROM t JOIN dfp USING (tok) GROUP BY doc_id")
+          "FROM t JOIN dfp USING (tok) GROUP BY doc_id"),
+      "q65_crawl_delta" ->
+        ("SELECT doc_id AS key, CASE " +
+          "WHEN doc_id % 10 = 0 THEN 'gone' " +
+          "WHEN doc_id % 3 = 0 THEN 'modified' " +
+          "ELSE 'unchanged' END AS status FROM documents " +
+          "UNION ALL " +
+          "SELECT doc_id + 20000, 'new' FROM documents WHERE doc_id % 8 = 0")
     )
   }
 }

@@ -153,6 +153,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[Double]("typicality") == 1.5)
   }
 
+  test("crawlDelta classifies new/gone/modified/unchanged in one pass") {
+    val old = docsOf(1L -> "alpha", 2L -> "beta", 3L -> "gamma")
+    val nu = docsOf(2L -> "beta", 3L -> "gamma CHANGED", 4L -> "delta")
+    val out = CrawlDelta.delta(old, nu)
+      .collect().map(r => r.getAs[Long]("key") -> r.getAs[String]("status")).toMap
+    assert(out == Map(1L -> "gone", 2L -> "unchanged", 3L -> "modified", 4L -> "new"))
+    val stats = CrawlDelta.deltaStats(CrawlDelta.delta(old, nu))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(stats == Map("gone" -> 1L, "unchanged" -> 1L, "modified" -> 1L, "new" -> 1L))
+  }
+
   test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
     import spark.implicits._
     val html =
