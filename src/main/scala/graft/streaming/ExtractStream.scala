@@ -14,6 +14,12 @@ final case class HostSession(
     host: String, docs: Long, errors: Long, bytes: Long,
     start_ts: java.sql.Timestamp, end_ts: java.sql.Timestamp)
 
+/** Per-(band,bucket) member list for the streaming near-dup state store. */
+final case class BucketMembers(ids: Array[Long])
+
+/** A near-dup candidate surfaced by the streaming LSH state. */
+final case class CandidatePair(id1: Long, id2: Long, band: Int, bucket: Long)
+
 /** Structured-Streaming form of the extraction pipeline: the reference has
   * no streaming (SURVEY.md §2.G documents batch-with-resume as the covering
   * design), but the kernel composes directly with readStream sources — the
@@ -126,6 +132,54 @@ object ExtractStream {
     * (host, session_seq) clustering), so sessionizing 10^12 docs costs a
     * single shuffle of the skinny projection.
     */
+  /** Streaming NEAR-dup candidate pairs — the streaming twin of the batch
+    * MinHash pipeline (Dedup.minhashCandidates, q35). Each arriving
+    * document's LSH band-buckets (the same map-only `minhashBands`
+    * construction the batch path uses) are checked against that bucket's
+    * members seen so far; a pair (earlier_id, new_id) is emitted the moment
+    * the second member arrives, so near-dups surface with per-micro-batch
+    * latency instead of end-of-crawl.
+    *
+    * State is the per-bucket member list, CAPPED at `maxBucket` exactly
+    * like the batch hot-bucket cap — a degenerate bucket would otherwise
+    * grow state without bound AND emit quadratic pairs (the same pathology
+    * q35's cap defuses: one bucket holds 52% of sf0.1). Members past the
+    * cap neither pair nor join the list. Within a bucket, within one
+    * micro-batch, rows are processed in doc_id order (micro-batch iterators
+    * carry no order guarantee), so output is deterministic given the batch
+    * boundaries. Pairs may repeat across BANDS (the batch twin's final
+    * `distinct` is the consumer's choice here — dedup downstream or feed a
+    * streaming clustering state). State lives for the life of the query —
+    * the right semantics for dedup (history IS the signal); restart
+    * backstop is the committed-table batch anti-join, same as dedupStream.
+    */
+  def nearDupCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
+      maxBucket: Int = 200): Dataset[CandidatePair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.ops.Dedup.minhashBands(docs, numHashes, bands)
+      .as[(Long, Int, Long)]
+      .groupByKey { case (_, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: (Int, Long), rows: Iterator[(Long, Int, Long)],
+         state: GroupState[BucketMembers]) =>
+          var members = state.getOption.map(_.ids).getOrElse(Array.empty[Long])
+          val out = scala.collection.mutable.ArrayBuffer.empty[CandidatePair]
+          rows.map(_._1).toArray.sorted.foreach { id =>
+            if (members.length < maxBucket && !members.contains(id)) {
+              members.foreach { m =>
+                out += CandidatePair(math.min(m, id), math.max(m, id),
+                  key._1, key._2)
+              }
+              members = members :+ id
+            }
+          }
+          state.update(BucketMembers(members))
+          out.iterator
+      }
+  }
+
   def hostSessionsBatch(parsed: DataFrame, gapSec: Long = 600L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("host").orderBy("warc_ts")

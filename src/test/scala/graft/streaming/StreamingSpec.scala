@@ -185,4 +185,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(rows(1).getLong(1) == 1 && rows(1).getLong(2) == 0) // minute 1
     } finally q.stop()
   }
+
+  test("streaming LSH near-dup candidates surface across micro-batches, capped") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val near = "the quick brown fox jumps over the lazy dog again today now"
+    val q = ExtractStream.nearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), maxBucket = 10)
+      .writeStream.format("memory").queryName("neardup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(1L -> near, 2L -> "completely different content entirely here")
+      q.processAllAvailable()
+      val early = spark.sql("SELECT DISTINCT id1, id2 FROM neardup_stream").collect()
+      assert(early.isEmpty) // nothing near-dup yet
+      // second batch: a near-copy of doc 1 arrives later — the pair must
+      // surface against the STATE, not within-batch co-occurrence
+      input.addData(3L -> (near + " x"))
+      q.processAllAvailable()
+      val pairs = spark.sql("SELECT DISTINCT id1, id2 FROM neardup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs.contains((1L, 3L)), s"pairs were $pairs")
+      assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    } finally q.stop()
+  }
+
+  test("streaming near-dup state respects the hot-bucket cap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val same = "identical text lands every band in the same bucket always"
+    val q = ExtractStream.nearDupCandidates(
+      input.toDF().toDF("doc_id", "text"), maxBucket = 3)
+      .writeStream.format("memory").queryName("neardup_cap_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 10L).map(_ -> same): _*)
+      q.processAllAvailable()
+      val members = spark.sql(
+        "SELECT max(greatest(id1, id2)) FROM neardup_cap_stream").collect()
+      // only the first 3 (by doc_id) joined any bucket: pairs max out at 3
+      assert(members.head.getLong(0) == 3L)
+      val perBucket = spark.sql(
+        "SELECT band, bucket, count(DISTINCT id1 || '-' || id2) AS c " +
+          "FROM neardup_cap_stream GROUP BY band, bucket")
+        .collect().map(_.getLong(2))
+      assert(perBucket.forall(_ == 3L)) // 3 members -> C(3,2) = 3 pairs
+    } finally q.stop()
+  }
 }
