@@ -233,6 +233,34 @@ object TextAnalysis {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** zlib COMPRESSION-RATIO quality signal (compressed/raw bytes): the
+    * classic cheap repetitiveness detector — spam and template churn
+    * compress far below prose (ratios ≲0.3 at prose lengths are a red
+    * flag), and it catches long-range repetition that n-gram fractions
+    * miss. Deterministic for a fixed Deflater level/strategy on one JVM
+    * (spec-pinned; no SQL oracle — DuckDB has no deflate — same evidence
+    * class as the WARC/JSONL spec-only ops). Per-row pure function:
+    * map-only at any scale.
+    */
+  def compressionRatio(docs: DataFrame, textCol: String = "text",
+      level: Int = 6): DataFrame = {
+    val ratioUdf = udf { (text: String) =>
+      if (text == null || text.isEmpty) 1.0
+      else {
+        val raw = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(level, false)
+        d.setInput(raw); d.finish()
+        // deflate worst case ≈ raw + 5 B per 16 KiB block + 6 B header
+        val buf = new Array[Byte](raw.length + raw.length / 16000 * 5 + 64)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        n.toDouble / raw.length
+      }
+    }
+    docs.withColumn("compression_ratio", ratioUdf(col(textCol)))
+  }
+
   /** Duplicated-SPAN statistics (the analysis half of Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better"): document
     * dedup misses partially-copied text — a page that quotes half of

@@ -164,6 +164,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stats == Map("gone" -> 1L, "unchanged" -> 1L, "modified" -> 1L, "new" -> 1L))
   }
 
+  test("compressionRatio separates repetitive spam from prose and is deterministic") {
+    val spam = ("buy now " * 200).trim
+    val prose = "the quick brown fox jumps over a lazy dog while seven " +
+      "other animals watch quietly from a distant hill near an old river " +
+      "and nobody expects any of this to repeat itself in quite this way"
+    val out = TextAnalysis.compressionRatio(docsOf(1L -> spam, 2L -> prose, 3L -> ""))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("compression_ratio")).toMap
+    assert(out(1L) < 0.05, s"spam ratio ${out(1L)}")
+    assert(out(2L) > 0.5, s"prose ratio ${out(2L)}")
+    assert(out(3L) == 1.0)
+    val again = TextAnalysis.compressionRatio(docsOf(1L -> spam))
+      .collect().head.getAs[Double]("compression_ratio")
+    assert(again == out(1L)) // fixed level/strategy → deterministic
+  }
+
   test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
     import spark.implicits._
     val html =
