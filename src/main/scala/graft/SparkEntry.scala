@@ -718,6 +718,18 @@ object SparkEntry {
         .unionByName(base.filter(col("doc_id") % 8 === 0)
           .withColumn("doc_id", col("doc_id") + 20000))
       graft.ops.CrawlDelta.delta(base, newSnap)
+    }),
+
+    "q66_extract_line_dedup" -> ((s, dir) => {
+      // corpus-evidence boilerplate removal over REAL extracted text: the
+      // repeated <li> lang items and 'link' anchor lines in the
+      // synthesized pages are exactly cross-page chrome, and
+      // first-occurrence line dedup strips them corpus-wide with NO
+      // per-page heuristic — the corpus-level complement to q42's
+      // kernel-side Boilerplate pass, composed extract → dedup
+      val parsed = ExtractJob.run(pagesDf(s, dir)).toDF()
+      graft.ops.TextAnalysis.lineDedupNewline(
+        parsed.select(col("doc_id"), col("text_out")), textCol = "text_out")
     })
   )
 
@@ -1196,7 +1208,24 @@ object SparkEntry {
           "WHEN doc_id % 3 = 0 THEN 'modified' " +
           "ELSE 'unchanged' END AS status FROM documents " +
           "UNION ALL " +
-          "SELECT doc_id + 20000, 'new' FROM documents WHERE doc_id % 8 = 0")
+          "SELECT doc_id + 20000, 'new' FROM documents WHERE doc_id % 8 = 0"),
+      "q66_extract_line_dedup" ->
+        (s"WITH ex AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN $trimmed " +
+          s"ELSE concat($trimmed, chr(10), repeat(concat(lang, chr(10)), cast(doc_id % 5 + 1 AS int)), 'link') END AS t " +
+          "FROM documents), " +
+          "l AS (SELECT doc_id, i - 1 AS line_idx, ls[i] AS line FROM " +
+          "(SELECT doc_id, string_split(t, chr(10)) AS ls FROM ex), " +
+          "unnest(range(1, len(ls) + 1)) AS r(i)), " +
+          "k AS (SELECT doc_id, line_idx, line, " +
+          "row_number() OVER (PARTITION BY line ORDER BY doc_id, line_idx) AS rn FROM l), " +
+          "a AS (SELECT doc_id, count(*) AS n_lines, " +
+          "sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept, " +
+          "coalesce(string_agg(CASE WHEN rn = 1 THEN line END, chr(10) ORDER BY line_idx), '') AS cleaned_text " +
+          "FROM k GROUP BY doc_id) " +
+          "SELECT d.doc_id, cast(coalesce(a.n_lines, 0) AS bigint) AS n_lines, " +
+          "cast(coalesce(a.n_kept, 0) AS bigint) AS n_kept, " +
+          "coalesce(a.cleaned_text, '') AS cleaned_text " +
+          "FROM documents d LEFT JOIN a USING (doc_id)")
     )
   }
 }

@@ -424,6 +424,31 @@ object TextAnalysis {
           .otherwise(expr("array()"))))
       .withColumnRenamed("pos", "line_idx")
       .withColumnRenamed("col", "line")
+    dedupLineTable(docs.select(col("doc_id")), lines, " ")
+  }
+
+  /** [[lineDedup]] over REAL newline-separated lines — the form that runs
+    * on extracted `structuredText` (whose '\n' boundaries are the block
+    * structure the kernel emitted): repeated nav items, footers and cookie
+    * banners are exactly the lines that recur corpus-wide, so
+    * first-occurrence line dedup IS boilerplate removal driven by evidence
+    * instead of per-page heuristics (the corpus-level complement to the
+    * kernel's per-page Boilerplate pass).
+    */
+  def lineDedupNewline(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"), posexplode(split(col(textCol), "\n")))
+      .withColumnRenamed("pos", "line_idx")
+      .withColumnRenamed("col", "line")
+    dedupLineTable(docs.select(col("doc_id")), lines, "\n")
+  }
+
+  /** Shared keep-first-occurrence core over a (doc_id, line_idx, line)
+    * table — min-STRUCT agg + join-back; see [[lineDedup]] for why not a
+    * window.
+    */
+  private def dedupLineTable(docIds: DataFrame, lines: DataFrame,
+      joiner: String): DataFrame = {
     val firsts = lines
       .groupBy("line")
       .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
@@ -436,8 +461,8 @@ object TextAnalysis {
       sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
       array_join(transform(array_sort(collect_list(
         when(col("keep"), struct(col("line_idx"), col("line"))))),
-        s => s("line")), " ").as("cleaned_text"))
-    docs.select(col("doc_id"))
+        s => s("line")), joiner).as("cleaned_text"))
+    docIds
       .join(agg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),

@@ -71,6 +71,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[String]("cleaned_text") == "")
   }
 
+  test("lineDedupNewline strips corpus-repeated lines from extracted text") {
+    val out = TextAnalysis.lineDedupNewline(docsOf(
+      0L -> "unique content zero\nSubscribe to our newsletter\nfooter (c) site",
+      1L -> "unique content one\nSubscribe to our newsletter\nfooter (c) site",
+      2L -> "Subscribe to our newsletter\nsomething else entirely"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_kept") == 3L) // first sighting keeps all
+    assert(out(1L).getAs[String]("cleaned_text") == "unique content one")
+    assert(out(2L).getAs[String]("cleaned_text") == "something else entirely")
+  }
+
   test("lineDedup: a ragged tail chunk is its own line") {
     val out = TextAnalysis.lineDedup(docsOf(0L -> "p q r"), lineTokens = 2)
       .collect().head
