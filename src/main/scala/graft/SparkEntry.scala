@@ -707,8 +707,9 @@ object SparkEntry {
 
     "q65_crawl_delta" -> ((s, dir) => {
       // recrawl delta: old snapshot = documents as-is; new snapshot drops
-      // every 10th url, modifies every (remaining) 3rd, adds urls above
-      // 20000 — ONE full-outer join on 32-byte fingerprints classifies all
+      // every 10th url, modifies every (remaining) 3rd, adds urls offset by
+      // 1e9 (collision-free at any SF) — ONE full-outer join on 32-byte
+      // fingerprints classifies all
       // four statuses, the gate that lets steady-state recrawls skip
       // re-extraction of the unchanged majority
       val base = docs(s, dir)
@@ -716,7 +717,7 @@ object SparkEntry {
         .withColumn("text", when(col("doc_id") % 3 === 0,
           concat(col("text"), lit(" updated"))).otherwise(col("text")))
         .unionByName(base.filter(col("doc_id") % 8 === 0)
-          .withColumn("doc_id", col("doc_id") + 20000))
+          .withColumn("doc_id", col("doc_id") + 1000000000L))
       graft.ops.CrawlDelta.delta(base, newSnap)
     }),
 
@@ -1165,7 +1166,7 @@ object SparkEntry {
           "FROM j GROUP BY host"),
       "q61_stratified_sample" ->
         ("SELECT doc_id, lang FROM documents " +
-          "WHERE substr(md5(concat(doc_id, ':graft')), 1, 4) < " +
+          "WHERE substr(md5(concat(doc_id, ':graft')), 1, 4) <= " +
           "CASE lang WHEN 'en' THEN '4000' WHEN 'zh' THEN '8000' ELSE 'c000' END"),
       "q62_pagerank" ->
         ("WITH e AS (SELECT doc_id % 100 AS src, (doc_id * 7 + i) % 100 AS dst " +
@@ -1197,7 +1198,7 @@ object SparkEntry {
           "cast(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS double) / count(*) AS shared_frac " +
           "FROM fp JOIN spread USING (fingerprint) GROUP BY doc_id"),
       "q64_typicality" ->
-        ("WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents), " +
+        ("WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents), " +
           "dfp AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok) " +
           "SELECT doc_id, count(*) AS n_tok, cast(sum(df) AS bigint) AS sum_df, " +
           "cast(sum(df) AS double) / count(*) AS typicality " +
@@ -1208,7 +1209,7 @@ object SparkEntry {
           "WHEN doc_id % 3 = 0 THEN 'modified' " +
           "ELSE 'unchanged' END AS status FROM documents " +
           "UNION ALL " +
-          "SELECT doc_id + 20000, 'new' FROM documents WHERE doc_id % 8 = 0"),
+          "SELECT doc_id + 1000000000, 'new' FROM documents WHERE doc_id % 8 = 0"),
       "q66_extract_line_dedup" ->
         (s"WITH ex AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN $trimmed " +
           s"ELSE concat($trimmed, chr(10), repeat(concat(lang, chr(10)), cast(doc_id % 5 + 1 AS int)), 'link') END AS t " +

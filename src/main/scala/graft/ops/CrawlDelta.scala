@@ -24,10 +24,13 @@ object CrawlDelta {
   /** Per-key delta rows: (key, status). Inputs need (keyCol, textCol). */
   def delta(oldSnap: DataFrame, newSnap: DataFrame,
       keyCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val a = oldSnap.select(col(keyCol).as("key"),
-      md5(encode(col(textCol), "UTF-8")).as("fp_old"))
-    val b = newSnap.select(col(keyCol).as("key"),
-      md5(encode(col(textCol), "UTF-8")).as("fp_new"))
+    // null text must still count as PRESENCE (a stored fetch with no body):
+    // bare md5(null) is null and would misread the key as new/gone, so
+    // nulls get a sentinel fingerprint (null body == null body → unchanged)
+    def fp(c: org.apache.spark.sql.Column) =
+      coalesce(md5(encode(c, "UTF-8")), lit("<null-body>"))
+    val a = oldSnap.select(col(keyCol).as("key"), fp(col(textCol)).as("fp_old"))
+    val b = newSnap.select(col(keyCol).as("key"), fp(col(textCol)).as("fp_new"))
     a.join(b, Seq("key"), "full_outer")
       .select(col("key"),
         when(col("fp_old").isNull, lit("new"))

@@ -39,8 +39,12 @@ object LinkGraph {
     val e = edges.select(col("src"), col("dst")).cache()
     val outDeg = e.groupBy("src").agg(count(lit(1)).as("out_deg"))
     val base = (100L - dampPct) * unit / 100L
+    // EAGER checkpoints: each round materializes inside the loop, so the
+    // edge cache actually serves its ~2 reads per iteration (lazy
+    // checkpoints would defer every read until after e.unpersist() below,
+    // rescanning the edge source ≥2×iters times with zero cache hits)
     var rank = nodes.select(col("node")).withColumn("rank", lit(unit))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     var i = 0
     while (i < iters) {
       // per-edge share with integer division, then an order-independent
@@ -49,12 +53,13 @@ object LinkGraph {
         .join(outDeg, "src")
         .select(col("dst"), expr("rank div out_deg").as("share"))
         .groupBy("dst").agg(sum("share").as("in_share"))
-      rank = rank.select(col("node"))
+      val next = rank.select(col("node"))
         .join(contrib, col("node") === col("dst"), "left")
         .select(col("node"),
           (lit(base) +
             expr(s"$dampPct * coalesce(in_share, 0L) div 100")).as("rank"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
+      rank = next
       i += 1
     }
     e.unpersist()

@@ -300,8 +300,10 @@ object TextAnalysis {
     * back to token occurrences — df is vocabulary-sized, broadcast-able.
     */
   def typicality(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    // empty tokens (from whitespace runs) would mint a "" vocab entry whose
+    // df drags every such doc's mean up — filter like the sibling ops
     val toks = docs.select(col("doc_id"),
-      explode(split(col(textCol), " ")).as("tok"))
+      explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("tok"))
     val dfTab = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
     toks.join(dfTab, "tok")
       .groupBy("doc_id").agg(
@@ -321,8 +323,11 @@ object TextAnalysis {
     * sample, so committed output never disagrees with recomputed output).
     * Map-only, whole-stage codegen; the filter pushes to the scan boundary.
     *
-    * `thresholds` maps stratum value → 4-hex-digit threshold; strata not
-    * listed use `defaultThreshold`.
+    * `thresholds` maps stratum value → 4-hex-digit threshold, compared
+    * INCLUSIVELY (`prefix <= threshold`), so the default "ffff" keeps
+    * exactly 100% of unlisted strata (a strict `<` would silently drop the
+    * ~1/65536 of documents whose hash prefix is "ffff" — ~15k ghosts at
+    * 10^9 docs); the empty string keeps 0%.
     */
   def hashSample(docs: DataFrame, thresholds: Map[String, String],
       defaultThreshold: String = "ffff", stratumCol: String = "lang",
@@ -332,7 +337,7 @@ object TextAnalysis {
     val thr = thresholds.foldLeft(lit(defaultThreshold)) {
       case (acc, (k, v)) => when(col(stratumCol) === k, lit(v)).otherwise(acc)
     }
-    docs.filter(substring(key, 1, 4) < thr)
+    docs.filter(substring(key, 1, 4) <= thr)
   }
 
   /** Gopher-style REPETITION signals (Rae et al. 2021, table A1): the

@@ -132,6 +132,30 @@ object ExtractStream {
     * (host, session_seq) clustering), so sessionizing 10^12 docs costs a
     * single shuffle of the skinny projection.
     */
+  def hostSessionsBatch(parsed: DataFrame, gapSec: Long = 600L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("host").orderBy("warc_ts")
+    parsed
+      .withColumn("host",
+        regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
+      .select(col("host"), col("warc_ts"), col("parse_ok"), col("n_bytes"))
+      .withColumn("prev_ts", lag(col("warc_ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("warc_ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum("new_session").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("host", "session_seq")
+      .agg(
+        count(lit(1)).as("docs"),
+        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("errors"),
+        sum(col("n_bytes").cast("long")).as("bytes"),
+        min(unix_timestamp(col("warc_ts"))).as("start_epoch"),
+        max(unix_timestamp(col("warc_ts"))).as("end_epoch"))
+  }
+
   /** Streaming NEAR-dup candidate pairs — the streaming twin of the batch
     * MinHash pipeline (Dedup.minhashCandidates, q35). Each arriving
     * document's LSH band-buckets (the same map-only `minhashBands`
@@ -178,29 +202,5 @@ object ExtractStream {
           state.update(BucketMembers(members))
           out.iterator
       }
-  }
-
-  def hostSessionsBatch(parsed: DataFrame, gapSec: Long = 600L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("host").orderBy("warc_ts")
-    parsed
-      .withColumn("host",
-        regexp_extract(col("url"), "^[A-Za-z][A-Za-z0-9+.-]*://([^/]+)", 1))
-      .select(col("host"), col("warc_ts"), col("parse_ok"), col("n_bytes"))
-      .withColumn("prev_ts", lag(col("warc_ts"), 1).over(w))
-      .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          unix_timestamp(col("warc_ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1L)
-          .otherwise(0L))
-      .withColumn("session_seq",
-        sum("new_session").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("host", "session_seq")
-      .agg(
-        count(lit(1)).as("docs"),
-        sum(when(col("parse_ok"), 0L).otherwise(1L)).as("errors"),
-        sum(col("n_bytes").cast("long")).as("bytes"),
-        min(unix_timestamp(col("warc_ts"))).as("start_epoch"),
-        max(unix_timestamp(col("warc_ts"))).as("end_epoch"))
   }
 }
