@@ -64,6 +64,7 @@ object ExtractMain {
         wall, m.getLong(0) / math.max(wall, 1e-9),
         attempt = TableIO.nextAttempt(spark, outTable, bucket)))
       TableIO.commitManifest(outTable, bucket, m.getLong(0))
+      TableIO.appendSnapshot(outTable, bucket)
       println(f"[extract] committed bucket $bucket: ${m.getLong(0)} docs in $wall%.2f s")
     }
 

@@ -85,6 +85,75 @@ object TableIO {
     writeBucketData(df, table, bucket)
     val rows = df.sparkSession.read.parquet(s"$table/$BucketCol=$bucket").count()
     commitManifest(table, bucket, rows)
+    appendSnapshot(table, bucket)
+  }
+
+  // ---- snapshot log (Iceberg-style time travel over the commit log) ----
+
+  private def snapshotDir(table: String): Path = Paths.get(table, "_snapshots")
+
+  /** Append an entry to the `_snapshots/` log: every bucket commit records
+    * the FULL committed-bucket set at that moment, so any historical table
+    * state is reconstructible ([[readSnapshot]]) and the north rule's
+    * "resumable from the last committed snapshot" is literal — the
+    * same append-only-metadata design Iceberg uses (snapshot list +
+    * manifest files), emulated on a filesystem because no Iceberg runtime
+    * jar exists in this sandbox (SURVEY.md §7.6). Commits are sequenced by
+    * the single writing driver (one job owns a table run; Iceberg's
+    * optimistic-retry protocol is out of scope here).
+    */
+  def appendSnapshot(table: String, bucket: Long): Long = {
+    val dir = snapshotDir(table)
+    Files.createDirectories(dir)
+    val id = snapshots(table).lastOption.map(_._1).getOrElse(0L) + 1L
+    val buckets = committedBuckets(table).toSeq.sorted
+    val tmp = dir.resolve(s".snap-$id.json.tmp")
+    val fin = dir.resolve(f"snap-$id%06d.json")
+    Files.writeString(tmp,
+      s"""{"snapshot_id":$id,"committed_bucket":$bucket,""" +
+        s""""buckets":[${buckets.mkString(",")}]}""")
+    Files.move(tmp, fin,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    id
+  }
+
+  /** The snapshot log in commit order: (snapshot_id, committed bucket set). */
+  def snapshots(table: String): Seq[(Long, Set[Long])] = {
+    val dir = snapshotDir(table)
+    if (!Files.isDirectory(dir)) Seq.empty
+    else
+      listDir(dir)
+        .map(_.getFileName.toString)
+        .filter(n => n.startsWith("snap-") && n.endsWith(".json"))
+        .map { n =>
+          val body = Files.readString(dir.resolve(n))
+          val id = n.stripPrefix("snap-").stripSuffix(".json").toLong
+          val buckets = "\"buckets\":\\[([0-9,]*)\\]".r
+            .findFirstMatchIn(body).map(_.group(1)).getOrElse("")
+          val set =
+            if (buckets.isEmpty) Set.empty[Long]
+            else buckets.split(",").map(_.toLong).toSet
+          (id, set)
+        }
+        .sortBy(_._1)
+  }
+
+  /** TIME-TRAVEL read: the table as of `snapshotId` (latest when omitted) —
+    * only the buckets committed at that snapshot are scanned, so reading an
+    * old state costs exactly that state's data, never a full-table scan
+    * plus filter. Returns an empty frame for an empty/unknown snapshot.
+    */
+  def readSnapshot(spark: org.apache.spark.sql.SparkSession, table: String,
+      snapshotId: Long = Long.MaxValue): DataFrame = {
+    val log = snapshots(table)
+    val state = log.filter(_._1 <= snapshotId).lastOption.map(_._2)
+      .getOrElse(Set.empty[Long])
+    if (state.isEmpty)
+      spark.emptyDataFrame
+    else
+      spark.read.option("basePath", table)
+        .parquet(state.toSeq.sorted.map(b => s"$table/$BucketCol=$b"): _*)
   }
 
   /** Filter the input to not-yet-committed buckets (partition-level resume)

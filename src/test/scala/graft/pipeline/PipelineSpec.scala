@@ -80,6 +80,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == bucketed.filter(col(TableIO.BucketCol) === 1L).count())
   }
 
+  test("snapshot log gives time-travel reads over the commit history") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_snap").toString
+    import spark.implicits._
+    val df = (0 until 20).map { i =>
+      (s"u$i", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 3600L)), i)
+    }.toDF("url", "warc_ts", "v")
+    val bucketed = TableIO.withBucket(df, 4)
+    Seq(0L, 1L, 2L).foreach { b =>
+      TableIO.writeBucket(bucketed.filter(col(TableIO.BucketCol) === b), dir, b)
+    }
+    val log = TableIO.snapshots(dir)
+    assert(log.map(_._1) == Seq(1L, 2L, 3L)) // one snapshot per commit
+    assert(log.last._2 == Set(0L, 1L, 2L)) // full committed set recorded
+    // time travel: state as of snapshot 1 sees only bucket 0's rows
+    val asOf1 = TableIO.readSnapshot(spark, dir, 1L)
+    assert(asOf1.count() ==
+      bucketed.filter(col(TableIO.BucketCol) === 0L).count())
+    // latest sees all three buckets; pre-history is empty
+    assert(TableIO.readSnapshot(spark, dir).count() ==
+      bucketed.filter(col(TableIO.BucketCol) < 3L).count())
+    assert(TableIO.readSnapshot(spark, dir, 0L).isEmpty)
+    // a re-commit appends a NEW snapshot (Iceberg-style append-only log)
+    TableIO.writeBucket(bucketed.filter(col(TableIO.BucketCol) === 1L), dir, 1L)
+    assert(TableIO.snapshots(dir).map(_._1).last == 4L)
+    assert(TableIO.readSnapshot(spark, dir, 3L).count() == asOf1.count() +
+      bucketed.filter(col(TableIO.BucketCol).isin(1L, 2L)).count())
+  }
+
   test("bucket metrics table is checkpointed and idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
     TableIO.writeBucketMetrics(spark, dir,
