@@ -731,6 +731,23 @@ object SparkEntry {
       val parsed = ExtractJob.run(pagesDf(s, dir)).toDF()
       graft.ops.TextAnalysis.lineDedupNewline(
         parsed.select(col("doc_id"), col("text_out")), textCol = "text_out")
+    }),
+
+    "q67_anchor_stats" -> ((s, dir) => {
+      // anchor-text aggregation per link target (the q48 kernel-extracted
+      // edge list): dominant anchor chosen by a min-STRUCT agg — no window
+      // over the href key, so a homepage with millions of in-links never
+      // becomes a sorted-window skew bottleneck
+      val page = concat(lit("<div>"),
+        expr("concat_ws('', transform(sequence(1, cast(doc_id % 5 + 1 as int)), i -> " +
+          "concat('<a href=\"https://t.example/', cast((doc_id * 7 + i) % 100 as string), '\"', " +
+          "case when i % 2 = 0 then ' rel=\"nofollow\"' else '' end, " +
+          "'>w', cast(i as string), ' ', lang, '</a>')))"),
+        lit("</div>"))
+      graft.ops.PageMeta.anchorStats(
+        graft.ops.PageMeta.outlinks(
+          docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+          .toDF())
     })
   )
 
@@ -1226,7 +1243,19 @@ object SparkEntry {
           "SELECT d.doc_id, cast(coalesce(a.n_lines, 0) AS bigint) AS n_lines, " +
           "cast(coalesce(a.n_kept, 0) AS bigint) AS n_kept, " +
           "coalesce(a.cleaned_text, '') AS cleaned_text " +
-          "FROM documents d LEFT JOIN a USING (doc_id)")
+          "FROM documents d LEFT JOIN a USING (doc_id)"),
+      "q67_anchor_stats" ->
+        ("WITH e AS (SELECT concat('https://t.example/', (doc_id * 7 + i) % 100) AS href, " +
+          "concat('w', i, ' ', lang) AS anchor " +
+          "FROM documents, unnest(range(1, cast(doc_id % 5 + 2 AS int))) AS t(i)), " +
+          "c AS (SELECT href, anchor, count(*) AS cnt FROM e GROUP BY href, anchor), " +
+          "r AS (SELECT href, anchor, cnt, " +
+          "sum(cnt) OVER (PARTITION BY href) AS in_edges, " +
+          "count(*) OVER (PARTITION BY href) AS n_anchors, " +
+          "row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor) AS rn FROM c) " +
+          "SELECT href, cast(in_edges AS bigint) AS in_edges, " +
+          "cast(n_anchors AS bigint) AS n_anchors, anchor AS top_anchor, " +
+          "cast(cnt AS bigint) AS top_anchor_count FROM r WHERE rn = 1")
     )
   }
 }

@@ -122,6 +122,28 @@ object PageMeta {
       .toDF("doc_id", "block_idx", "json")
   }
 
+  /** ANCHOR-TEXT aggregation per link target — the web-graph relevance
+    * signal (what the rest of the web calls a page): per target url, the
+    * incoming-edge count, distinct anchor phrasings, and the dominant
+    * anchor (highest count; ties broken to the lexicographically smallest
+    * anchor so the result is deterministic and hash-gateable).
+    *
+    * Shape: (href, anchor) hash agg (map-side combined), then a min-STRUCT
+    * agg per href — count negated inside the struct so `min` picks
+    * highest-count-then-smallest-anchor in one pass, no window over the
+    * href key (hot targets — homepages with millions of in-links — would
+    * make a per-href sorted window the skew bottleneck).
+    */
+  def anchorStats(edges: DataFrame): DataFrame =
+    edges.groupBy("href", "anchor").agg(count(lit(1)).as("cnt"))
+      .groupBy("href").agg(
+        sum("cnt").as("in_edges"),
+        count(lit(1)).as("n_anchors"),
+        min(struct((-col("cnt")).as("neg"), col("anchor"))).as("top"))
+      .select(col("href"), col("in_edges"), col("n_anchors"),
+        col("top.anchor").as("top_anchor"),
+        (-col("top.neg")).cast("long").as("top_anchor_count"))
+
   /** Degree metrics over an edge table: out-degree per source doc plus the
     * in-degree of every distinct target. Two hash aggregations — the
     * partial/final split makes both map-side-combining at any scale.

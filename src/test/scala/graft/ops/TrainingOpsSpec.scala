@@ -190,6 +190,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out(1L)) // fixed level/strategy → deterministic
   }
 
+  test("anchorStats picks the dominant anchor with deterministic tie-breaks") {
+    import spark.implicits._
+    val edges = Seq(
+      ("t1", "click here"), ("t1", "click here"), ("t1", "docs"),
+      ("t2", "beta"), ("t2", "alpha"), // tie at cnt 1 → lexicographic min
+      ("t3", "solo")).toDF("href", "anchor")
+    val out = PageMeta.anchorStats(edges)
+      .collect().map(r => r.getAs[String]("href") -> r).toMap
+    assert(out("t1").getAs[Long]("in_edges") == 3L)
+    assert(out("t1").getAs[Long]("n_anchors") == 2L)
+    assert(out("t1").getAs[String]("top_anchor") == "click here")
+    assert(out("t1").getAs[Long]("top_anchor_count") == 2L)
+    assert(out("t2").getAs[String]("top_anchor") == "alpha")
+    assert(out("t3").getAs[Long]("n_anchors") == 1L)
+  }
+
   test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
     import spark.implicits._
     val html =
