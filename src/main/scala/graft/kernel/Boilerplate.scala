@@ -90,12 +90,72 @@ object Boilerplate {
     (total, anchor)
   }
 
+  /** Per-element (totalChars, anchorChars) for EVERY element in one
+    * bottom-up pass — O(doc) total. The naive alternative (calling
+    * [[textStats]] per density-checked container) re-walks each subtree
+    * and goes O(depth²): a 100k-deep nested-div page (real crawls contain
+    * such pathology) took ~90 s; this pass brings the whole strip to the
+    * same O(doc) cost as parsing. Recurrences:
+    *
+    *   total(e)  = Σ total(childElem) + Σ len(nonWsText)
+    *   anchor(e) = Σ (childElem is <a> ? total(childElem) : anchor(childElem))
+    *
+    * which match [[textStats]]'s under-an-anchor-ancestor-within-the-
+    * subtree semantics exactly (an `<a>` subtree root itself is only
+    * relevant for rootIsA, and density checks never run on `<a>`).
+    */
+  private def allTextStats(root: Element): java.util.IdentityHashMap[Element, (Int, Int)] = {
+    // reversed pre-order lists every element after all of its descendants
+    val pre = new ArrayBuffer[Element](64)
+    val stack = new ArrayBuffer[Element](16)
+    stack += root
+    while (stack.nonEmpty) {
+      val e = stack.remove(stack.length - 1)
+      pre += e
+      var i = e.childNodes.length - 1
+      while (i >= 0) {
+        e.childNodes(i) match {
+          case c: Element => stack += c
+          case _ =>
+        }
+        i -= 1
+      }
+    }
+    val stats = new java.util.IdentityHashMap[Element, (Int, Int)](pre.length * 2)
+    var p = pre.length - 1
+    while (p >= 0) {
+      val e = pre(p)
+      var total = 0
+      var anchor = 0
+      var i = 0
+      while (i < e.childNodes.length) {
+        e.childNodes(i) match {
+          case c: Element =>
+            val (ct, ca) = stats.get(c)
+            total += ct
+            anchor += (if (c.tagName.equalsIgnoreCase("a")) ct else ca)
+          case t: TextNode =>
+            if (!t.isWhitespace) total += t.text.length
+          case _ =>
+        }
+        i += 1
+      }
+      stats.put(e, (total, anchor))
+      p -= 1
+    }
+    stats
+  }
+
   /** In-place boilerplate strip (kernel trees are per-partition ephemeral,
     * so mutation is safe — same convention as the §2.D mutation ops).
     * Returns the number of subtrees removed. Top-down: a removed subtree's
-    * descendants are neither visited nor counted.
+    * descendants are neither visited nor counted. Density decisions read
+    * the [[allTextStats]] precomputation (every container is evaluated
+    * before any of its own descendants are stripped, so the original-tree
+    * stats are exactly what the per-container walk would have measured).
     */
   def strip(root: Element, maxLinkDensity: Double = 0.5): Int = {
+    val stats = allTextStats(root)
     var removed = 0
     val stack = new ArrayBuffer[Element](16)
     stack += root
@@ -110,7 +170,7 @@ object Boilerplate {
           e.removeChild(k)
           removed += 1
         } else if (densityTags.contains(k.tagName.toLowerCase) && {
-          val (total, anchor) = textStats(k)
+          val (total, anchor) = stats.get(k)
           total > 0 && anchor.toDouble / total >= maxLinkDensity
         }) {
           e.removeChild(k)

@@ -96,4 +96,20 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(anchor == 4)
     assert(total == "four".length + " and text".length)
   }
+
+  test("strip is O(doc) on pathological 50k-deep nesting") {
+    // the per-container textStats walk was O(depth^2) here (~90 s at 100k
+    // deep); the bottom-up precomputation must keep this in kernel-pass
+    // territory, and the density decision must be unchanged (prose-only
+    // subtree -> nothing stripped)
+    val depth = 50000
+    val html = "<div>" * depth + "content text here" + "</div>" * depth
+    val root = HtmlParser.parse(html)
+    val t0 = System.nanoTime()
+    val removed = Boilerplate.strip(root)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(removed == 0)
+    assert(root.structuredText == "content text here")
+    assert(sec < 20.0, s"deep strip took $sec s — quadratic regression?")
+  }
 }
