@@ -748,6 +748,23 @@ object SparkEntry {
         graft.ops.PageMeta.outlinks(
           docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
           .toDF())
+    }),
+
+    "q68_tables" -> ((s, dir) => {
+      // structured-data lift: every page carries one table (header row +
+      // doc_id%3+1 data rows); the kernel emits one relational row per
+      // <tr> with '|'-joined decoded cells — table-QA / table-to-text
+      // dataset extraction through the same map-only kernel shape
+      val dataRows = expr("concat_ws('', transform(sequence(1, cast(doc_id % 3 + 1 as int)), j -> " +
+        "concat('<tr><td>r', cast(j as string), ' ', lang, '</td><td>', cast(doc_id * j as string), '</td></tr>')))")
+      val page = concat(
+        lit("<div><table><tr><th>name</th><th>value</th></tr>"), dataRows,
+        lit("</table></div>"))
+      graft.ops.PageMeta.tables(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .select(col("doc_id"), col("table_idx").cast("long").as("table_idx"),
+          col("row_idx").cast("long").as("row_idx"), col("is_header"),
+          col("cells"))
     })
   )
 
@@ -1255,7 +1272,14 @@ object SparkEntry {
           "row_number() OVER (PARTITION BY href ORDER BY cnt DESC, anchor) AS rn FROM c) " +
           "SELECT href, cast(in_edges AS bigint) AS in_edges, " +
           "cast(n_anchors AS bigint) AS n_anchors, anchor AS top_anchor, " +
-          "cast(cnt AS bigint) AS top_anchor_count FROM r WHERE rn = 1")
+          "cast(cnt AS bigint) AS top_anchor_count FROM r WHERE rn = 1"),
+      "q68_tables" ->
+        ("SELECT doc_id, cast(0 AS bigint) AS table_idx, cast(0 AS bigint) AS row_idx, " +
+          "true AS is_header, 'name|value' AS cells FROM documents " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(0 AS bigint), cast(j AS bigint), false, " +
+          "concat('r', j, ' ', lang, '|', doc_id * j) " +
+          "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j)")
     )
   }
 }

@@ -122,6 +122,46 @@ object PageMeta {
       .toDF("doc_id", "block_idx", "json")
   }
 
+  /** HTML TABLE extraction — tables are the web's structured-data modality
+    * (stats, specs, leaderboards); curation pipelines lift them out of the
+    * DOM into relational rows for table-QA / table-to-text training sets.
+    * One row per `<tr>`: (doc_id, table_idx, row_idx, is_header, cells)
+    * with cells = entity-decoded td/th texts joined by '|' in document
+    * order; indexes are document-ordered. Direct-child cells only (nested
+    * tables contribute their own rows, not their ancestors'). Same
+    * map-only kernel shape as the other extractors.
+    */
+  def tables(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val selTable = Query.compileUnion("table")
+        it.flatMap { case (id, html) =>
+          val root = parseBytes(html)
+          Query.querySelectorAll(root, selTable).iterator.zipWithIndex.flatMap {
+            case (t, ti) =>
+              val trs = t.childNodes.iterator.collect {
+                case e: graft.kernel.Element
+                  if e.tagName.equalsIgnoreCase("tr") => e
+              }.toSeq
+              trs.iterator.zipWithIndex.map { case (tr, ri) =>
+                val cells = tr.childNodes.collect {
+                  case e: graft.kernel.Element
+                    if e.tagName.equalsIgnoreCase("td") ||
+                      e.tagName.equalsIgnoreCase("th") => e
+                }
+                val isHeader = cells.nonEmpty &&
+                  cells.forall(_.tagName.equalsIgnoreCase("th"))
+                (id, ti, ri, isHeader, cells.map(_.text).mkString("|"))
+              }
+          }
+        }
+      }
+      .toDF("doc_id", "table_idx", "row_idx", "is_header", "cells")
+  }
+
   /** ANCHOR-TEXT aggregation per link target — the web-graph relevance
     * signal (what the rest of the web calls a page): per target url, the
     * incoming-edge count, distinct anchor phrasings, and the dominant

@@ -206,6 +206,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("t3").getAs[Long]("n_anchors") == 1L)
   }
 
+  test("tables lifts header and data rows with decoded, direct-child cells") {
+    import spark.implicits._
+    val html = "<body><table>" +
+      "<tr><th>a&amp;b</th><th>c</th></tr>" +
+      "<tr><td>1</td><td>mixed<th>th-cell</th></td></tr>" +
+      "</table><p>x</p><table><tr><td>second</td></tr></table></body>"
+    val rows = PageMeta.tables(Seq((5L, html.getBytes("UTF-8"))).toDF("doc_id", "html"))
+      .orderBy("table_idx", "row_idx").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[Boolean]("is_header"))
+    assert(rows(0).getAs[String]("cells") == "a&b|c") // entity-decoded
+    assert(!rows(1).getAs[Boolean]("is_header")) // td present -> data row
+    assert(rows(2).getAs[Int]("table_idx") == 1)
+    assert(rows(2).getAs[String]("cells") == "second")
+  }
+
   test("jsonLd extracts blocks verbatim, in document order, untyped scripts skipped") {
     import spark.implicits._
     val html =
