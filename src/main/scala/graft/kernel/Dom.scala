@@ -275,12 +275,19 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
     stack += ((this, 0))
     while (stack.nonEmpty) {
       val (item, ind) = stack.remove(stack.length - 1)
+      // indentation is capped at 64 levels: the literal format ("  " per
+      // level per line) makes the OUTPUT quadratic in depth — a 100k-deep
+      // page would produce a 10^10-char string (OOM). The reference never
+      // reaches such depths (its recursive structure() overflows the JS
+      // stack first), so the cap only diverges where the reference cannot
+      // run at all — same class as divergence #2 in COVERAGE.md.
+      val indStr = "  " * math.min(ind, 64)
       item match {
         case node: Element =>
           val idStr = if (node.id.nonEmpty) "#" + node.id else ""
           val classStr =
             if (node.classNames.nonEmpty) "." + node.classNames.mkString(".") else ""
-          res += "  " * ind + node.tagName + idStr + classStr
+          res += indStr + node.tagName + idStr + classStr
           var j = node.childNodes.length - 1
           while (j >= 0) {
             node.childNodes(j) match {
@@ -290,7 +297,7 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
             }
             j -= 1
           }
-        case _ => res += "  " * ind + "#text"
+        case _ => res += indStr + "#text"
       }
     }
     res.mkString("\n")
@@ -383,21 +390,47 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
 
   def outerHTML: String = toHtml
 
-  def toJsonString: String = {
-    val attrsJson = {
-      val it = attributes.entrySet().iterator()
-      val sb = new java.lang.StringBuilder("{")
-      var first = true
-      while (it.hasNext) {
-        val e = it.next()
-        if (!first) sb.append(',')
-        first = false
-        sb.append(JsonUtil.quote(e.getKey)).append(':').append(JsonUtil.quote(e.getValue))
-      }
-      sb.append('}').toString
+  private def attrsJson: String = {
+    val it = attributes.entrySet().iterator()
+    val sb = new java.lang.StringBuilder("{")
+    var first = true
+    while (it.hasNext) {
+      val e = it.next()
+      if (!first) sb.append(',')
+      first = false
+      sb.append(JsonUtil.quote(e.getKey)).append(':').append(JsonUtil.quote(e.getValue))
     }
-    val kids = childNodes.map(_.toJsonString).mkString("[", ",", "]")
-    s"""{"type":"element","tagName":${JsonUtil.quote(tagName)},"attributes":$attrsJson,"children":$kids}"""
+    sb.append('}').toString
+  }
+
+  /** Iterative (heap-stacked) like every other traversal — the natural
+    * childNodes.map(_.toJsonString) recursion overflows the JVM stack on
+    * ~10k-deep documents (COVERAGE.md divergence #2: the reference
+    * recursion overflows the JS stack the same way; we must not).
+    */
+  def toJsonString: String = {
+    val sb = new java.lang.StringBuilder
+    val stack = new ArrayBuffer[AnyRef](32)
+    stack += this
+    while (stack.nonEmpty) {
+      stack.remove(stack.length - 1) match {
+        case s: String => sb.append(s)
+        case e: Element =>
+          sb.append("{\"type\":\"element\",\"tagName\":")
+            .append(JsonUtil.quote(e.tagName))
+            .append(",\"attributes\":").append(e.attrsJson)
+            .append(",\"children\":[")
+          stack += "]}"
+          var j = e.childNodes.length - 1
+          while (j >= 0) {
+            stack += e.childNodes(j)
+            if (j > 0) stack += ","
+            j -= 1
+          }
+        case n: DomNode => sb.append(n.toJsonString) // text/comment leaves
+      }
+    }
+    sb.toString
   }
 
   // -------------------------------------------------------------- attributes

@@ -263,7 +263,10 @@ object Query {
       new java.util.IdentityHashMap[Element, java.lang.Boolean])
     union.foreach { parts =>
       val res = ArrayBuffer.empty[Element]
-      exploreAll(root, parts, 0, res)
+      // memo = true: the Set dedup below keeps first occurrences anyway, so
+      // skipping repeat (node, level) visits is output-identical and keeps
+      // adversarially deep matching chains linear instead of O(depth²)
+      exploreAll(root, parts, 0, res, memo = true)
       res.foreach { el => if (seen.add(el)) out += el }
     }
     out
@@ -305,14 +308,39 @@ object Query {
     * reference's recursive concatenation order.
     */
   private def exploreAll(root: Element, parts: Array[SelectorPart], level0: Int,
-      out: ArrayBuffer[Element]): Unit = {
-    // work stack of (node, level); LIFO pop order == recursive visit order
+      out: ArrayBuffer[Element], memo: Boolean = false): Unit = {
+    // work stack of (node, level); LIFO pop order == recursive visit order.
+    //
+    // `memo = true` (the querySelectorAll union path) skips repeat visits of
+    // the same (node, level) pair: on a deep chain of matching ancestors the
+    // dual rewound/advanced fork re-visits (node, advancedLevel) once per
+    // matching ancestor — O(depth²) visits and O(depth²) duplicate
+    // emissions (OOM at 100k nesting). A repeat visit's entire subtree
+    // exploration is identical to the first (same node, same level) and DFS
+    // completes the first visit's subtree before popping the repeat, so
+    // skipping changes neither the emitted SET nor first-occurrence ORDER —
+    // and first-occurrence is exactly what the union path's Set dedup keeps
+    // (reference src/index.ts:408). The raw-Matcher path keeps memo = false:
+    // its duplicate emission order (ExtractSpec "3,2,3") is reference-pinned.
+    val visited: java.util.IdentityHashMap[Element, Array[Boolean]] =
+      if (memo) new java.util.IdentityHashMap() else null
     val nodes = new ArrayBuffer[Element](64)
     val levels = new ArrayBuffer[Int](64)
     nodes += root; levels += level0
     while (nodes.nonEmpty) {
       val node = nodes.remove(nodes.length - 1)
       val level = levels.remove(levels.length - 1)
+      val skip = memo && {
+        var seen = visited.get(node)
+        if (seen == null) {
+          seen = new Array[Boolean](parts.length + 1)
+          visited.put(node, seen)
+        }
+        val repeat = seen(level)
+        seen(level) = true
+        repeat
+      }
+      if (!skip) {
       val advanced = node.tagName.nonEmpty && level < parts.length &&
         parts(level).matches(node)
       val kids = node.childNodes
@@ -353,6 +381,7 @@ object Query {
           }
           j -= 1
         }
+      }
       }
     }
   }
