@@ -765,6 +765,38 @@ object SparkEntry {
         .select(col("doc_id"), col("table_idx").cast("long").as("table_idx"),
           col("row_idx").cast("long").as("row_idx"), col("is_header"),
           col("cells"))
+    }),
+
+    "q69_feed_entries" -> ((s, dir) => {
+      // frontier-seed FEED ingestion (the companion to q54's sitemaps —
+      // feeds surface fresh urls first): even docs serve RSS (void-<link>
+      // sibling-text quirk), odd docs Atom (link[href]); both constructions
+      // yield the same logical entries, so ONE oracle covers both branches
+      // and any RSS/Atom asymmetry in the parser breaks the hash
+      val rss = concat(lit("<rss><channel>"),
+        expr("concat_ws('', transform(sequence(1, cast(doc_id % 3 + 1 as int)), j -> " +
+          "concat('<item><title>T ', cast(doc_id as string), ' ', cast(j as string), '</title>" +
+          "<link>https://f.example/', cast(doc_id as string), '/', cast(j as string), '</link>" +
+          "<pubDate>D', cast((doc_id + j) % 7 as string), '</pubDate></item>')))"),
+        lit("</channel></rss>"))
+      val atom = concat(lit("<feed>"),
+        expr("concat_ws('', transform(sequence(1, cast(doc_id % 3 + 1 as int)), j -> " +
+          "concat('<entry><title>T ', cast(doc_id as string), ' ', cast(j as string), '</title>" +
+          "<link href=\"https://f.example/', cast(doc_id as string), '/', cast(j as string), '\"/>" +
+          "<updated>D', cast((doc_id + j) % 7 as string), '</updated></entry>')))"),
+        lit("</feed>"))
+      val xml = when(col("doc_id") % 2 === 0, rss).otherwise(atom)
+      val pages = docs(s, dir).select(col("doc_id"), encode(xml, "UTF-8").as("xml"))
+      import s.implicits._
+      pages.as[(Long, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          graft.sources.Feed.entries(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .iterator.zipWithIndex.map { case (e, i) =>
+              (id, i.toLong, e.url, e.title, e.published)
+            }
+        }
+      }.toDF("doc_id", "entry_idx", "url", "title", "published")
     })
   )
 
@@ -1279,6 +1311,12 @@ object SparkEntry {
           "UNION ALL " +
           "SELECT doc_id, cast(0 AS bigint), cast(j AS bigint), false, " +
           "concat('r', j, ' ', lang, '|', doc_id * j) " +
+          "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j)"),
+      "q69_feed_entries" ->
+        ("SELECT doc_id, cast(j - 1 AS bigint) AS entry_idx, " +
+          "concat('https://f.example/', doc_id, '/', j) AS url, " +
+          "concat('T ', doc_id, ' ', j) AS title, " +
+          "concat('D', (doc_id + j) % 7) AS published " +
           "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j)")
     )
   }

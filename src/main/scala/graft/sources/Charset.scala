@@ -62,3 +62,51 @@ object Sitemap {
       .map(_.text.trim).toSeq
   }
 }
+
+/** RSS 2.0 / Atom feed ingestion — the OTHER frontier-seed source next to
+  * sitemaps: feeds surface fresh urls hours before they reach sitemaps,
+  * which is how a crawl keeps up with news/blog content. Parsed by the same
+  * kernel (feeds are XML, the parser's unknown-tag handling covers them);
+  * entry url + title + publication timestamp per item.
+  */
+object Feed {
+
+  final case class FeedEntry(url: String, title: String, published: String)
+
+  /** RSS `<item>` (link text, title text, pubDate text) and Atom `<entry>`
+    * (link[href] attr, title text, updated/published text), document order.
+    * Feeds in the wild mix conventions; both are always probed.
+    *
+    * RSS quirk handled explicitly: `link` is a VOID element under HTML
+    * parsing rules, so `<link>url</link>` parses as an empty element
+    * followed by a sibling TEXT node — the url is recovered from the text
+    * node immediately after the `<link>` inside its parent item.
+    */
+  def entries(xml: String): Seq[FeedEntry] = {
+    import graft.kernel.{HtmlParser, Query, Element, TextNode}
+    val root = HtmlParser.parse(xml)
+    val unions = scala.collection.mutable.HashMap.empty[String, Array[Array[graft.kernel.SelectorPart]]]
+    def sel(e: Element, s: String) = Query.querySelector(e,
+      unions.getOrElseUpdate(s, Query.compileUnion(s)))
+    val items = Query.querySelectorAll(root, Query.compileUnion("item,entry"))
+    items.iterator.map { it =>
+      val link = sel(it, "link").map { l =>
+        val href = l.getAttribute("href")
+        if (href.exists(_.nonEmpty)) href.get
+        else if (l.text.trim.nonEmpty) l.text.trim
+        else {
+          // RSS void-link: the url is the sibling text node after <link>
+          val p = if (l.parentNode != null) l.parentNode else it
+          val idx = p.childNodes.indexWhere(_ eq l)
+          p.childNodes.drop(idx + 1).collectFirst {
+            case t: TextNode if !t.isWhitespace => t.text.trim
+          }.getOrElse("")
+        }
+      }.getOrElse("")
+      val title = sel(it, "title").map(_.text.trim).getOrElse("")
+      val published = sel(it, "pubDate").orElse(sel(it, "published"))
+        .orElse(sel(it, "updated")).map(_.text.trim).getOrElse("")
+      FeedEntry(link, title, published)
+    }.toSeq
+  }
+}
