@@ -36,6 +36,11 @@ object ExtractMain {
     val committed = TableIO.committedBuckets(outTable)
     if (committed.nonEmpty)
       println(s"[extract] resuming: buckets ${committed.toSeq.sorted.mkString(",")} already committed")
+    // repair the commit→snapshot crash window: a manifest with no matching
+    // snapshot entry gets a catch-up snapshot before any new work
+    TableIO.reconcileSnapshots(outTable).foreach { id =>
+      println(s"[extract] reconciled snapshot log: catch-up snapshot $id")
+    }
     val pending = TableIO.pendingOnly(pages, outTable, nBuckets)
     val pendingBuckets = pending.select(TableIO.BucketCol).distinct()
       .collect().map(_.getLong(0)).sorted

@@ -426,12 +426,20 @@ object SparkEntry {
       // page-metadata table (title / description / canonical / robots):
       // synthesized heads, extracted through the kernel SELECTOR path
       // (title text, attr lookups on meta/link matches) — so q47 gates
-      // querySelector + attribute decode end-to-end against a SQL oracle
+      // querySelector + attribute decode end-to-end against a SQL oracle.
+      // The description is embedded HTML-ESCAPED (& before ") with a
+      // forced `&`/`"` marker appended, and the kernel's attribute decode
+      // must invert the escaping exactly for the oracle (which compares
+      // the raw unescaped string) to hash green — any unescaped embed or
+      // missed decode breaks the attribute value on every row.
+      val desc = concat(substring(col("text"), 1, 40), lit(" Q&A \"x\""))
+      val descEsc = regexp_replace(
+        regexp_replace(desc, "&", "&amp;"), "\"", "&quot;")
       val page = concat(
         lit("<html lang=\""), col("lang"), lit("\"><head><title>Doc "),
         col("doc_id"), lit(" - "), col("lang"), lit("</title>"),
         lit("<meta name=\"description\" content=\""),
-        substring(col("text"), 1, 40), lit("\">"),
+        descEsc, lit("\">"),
         lit("<link rel=\"canonical\" href=\"https://c.example/"), col("doc_id"),
         lit("\">"),
         when(col("doc_id") % 9 === 0,
@@ -1075,7 +1083,7 @@ object SparkEntry {
           "FROM train t JOIN bench b USING (fingerprint) GROUP BY t.doc_id"),
       "q47_head_meta" ->
         ("SELECT doc_id, concat('Doc ', doc_id, ' - ', lang) AS title, " +
-          "substr(text, 1, 40) AS description, " +
+          "concat(substr(text, 1, 40), ' Q&A \"x\"') AS description, " +
           "concat('https://c.example/', doc_id) AS canonical, " +
           "(doc_id % 9 = 0) AS noindex FROM documents"),
       "q48_outlinks" ->

@@ -275,13 +275,17 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
     stack += ((this, 0))
     while (stack.nonEmpty) {
       val (item, ind) = stack.remove(stack.length - 1)
-      // indentation is capped at 64 levels: the literal format ("  " per
+      // indentation is capped at 8192 levels: the literal format ("  " per
       // level per line) makes the OUTPUT quadratic in depth — a 100k-deep
-      // page would produce a 10^10-char string (OOM). The reference never
-      // reaches such depths (its recursive structure() overflows the JS
-      // stack first), so the cap only diverges where the reference cannot
-      // run at all — same class as divergence #2 in COVERAGE.md.
-      val indStr = "  " * math.min(ind, 64)
+      // page would produce a 10^10-char string (OOM). The reference's
+      // structure getter (src/index.ts:347) recurses one `dfs` frame per
+      // level, and Node's default ~1 MB value stack overflows a frame of
+      // that shape near 10^4 levels — so every depth the reference can
+      // actually serve without RangeError (real pages are <100 deep) is
+      // byte-identical, and the cap only diverges at depths where the
+      // reference is at/over its own stack limit — same class as
+      // divergence #2 in COVERAGE.md.
+      val indStr = "  " * math.min(ind, 8192)
       item match {
         case node: Element =>
           val idStr = if (node.id.nonEmpty) "#" + node.id else ""

@@ -118,6 +118,24 @@ object TableIO {
     id
   }
 
+  /** Catch-up snapshot (crash-window repair): a crash BETWEEN
+    * [[commitManifest]] and [[appendSnapshot]] leaves a committed bucket
+    * with no snapshot entry; if it was the final bucket, the latest
+    * snapshot would permanently under-report the table vs the manifest
+    * view. Called on job start: if the manifest bucket set differs from
+    * the latest snapshot's, append one snapshot recording the true
+    * committed set. Returns the appended snapshot id, if any was needed.
+    */
+  def reconcileSnapshots(table: String): Option[Long] = {
+    val committed = committedBuckets(table)
+    val latest = snapshots(table).lastOption.map(_._2).getOrElse(Set.empty[Long])
+    if (committed == latest) None
+    else {
+      val trigger = (committed -- latest).toSeq.sorted.headOption.getOrElse(-1L)
+      Some(appendSnapshot(table, trigger))
+    }
+  }
+
   /** The snapshot log in commit order: (snapshot_id, committed bucket set). */
   def snapshots(table: String): Seq[(Long, Set[Long])] = {
     val dir = snapshotDir(table)

@@ -85,14 +85,23 @@ object PdfText {
         val isEnd = i >= 3 && pdf(i - 3) == 'e' && pdf(i - 2) == 'n' && pdf(i - 1) == 'd'
         if (isEnd) i += 6
         else {
-          // dictionary window: back to the nearest "<<" (nested dicts are
-          // fine for /Length|/Filter detection — both live at top level here)
+          // dictionary window: back to the OUTERMOST "<<" by balancing
+          // '>>'/'<<' pairs — a stream dict with a nested dict (e.g.
+          // /DecodeParms << ... >>, common in predictor-compressed crawl
+          // PDFs) must not make the window start at the inner dict, or
+          // /Length and /FlateDecode at the top level are missed and the
+          // stream silently mis-frames / never inflates
           val dictStart = {
             var j = i - 2
+            var depth = 0
             var found = -1
             while (j >= 0 && found < 0) {
-              if (pdf(j) == '<' && pdf(j + 1) == '<') found = j
-              j -= 1
+              if (pdf(j) == '>' && pdf(j + 1) == '>') { depth += 1; j -= 2 }
+              else if (pdf(j) == '<' && pdf(j + 1) == '<') {
+                depth -= 1
+                if (depth <= 0) found = j else j -= 2
+              }
+              else j -= 1
             }
             found
           }

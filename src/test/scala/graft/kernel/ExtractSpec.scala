@@ -129,6 +129,29 @@ class ExtractSpec extends AnyFunSuite {
     assert(firstEl(root).structure == "div#a.x.y\n  p\n    #text")
   }
 
+  test("structure keeps exact indentation at depths the reference can serve") {
+    // reference structure (src/index.ts:347) recurses one frame per level;
+    // our indent cap (8192) must be far beyond any depth it can reach
+    // without a JS RangeError — at 300 deep, indentation is exact
+    val depth = 300
+    val root = parse("<div>" * depth + "x" + "</div>" * depth)
+    val lines = firstEl(root).structure.split("\n")
+    assert(lines.length == depth + 1)
+    assert(lines(0) == "div")
+    assert(lines(depth - 1) == "  " * (depth - 1) + "div")
+    assert(lines(depth) == "  " * depth + "#text")
+  }
+
+  test("structure indent cap bounds output on pathological depth") {
+    // beyond 8192 levels (where the reference itself stack-overflows) the
+    // indent freezes, keeping output O(doc × cap), not O(doc²)
+    val depth = 9000
+    val deepRoot = parse("<div>" * depth + "</div>" * depth)
+    val lines = firstEl(deepRoot).structure.split("\n")
+    assert(lines.length == depth)
+    assert(lines(8500) == "  " * 8192 + "div")
+  }
+
   // ---- entity codec (html-entities@2.3.2 defaults) ----
 
   test("decode named, legacy, numeric entities") {

@@ -108,6 +108,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       bucketed.filter(col(TableIO.BucketCol).isin(1L, 2L)).count())
   }
 
+  test("reconcileSnapshots repairs the commit→snapshot crash window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_reconcile").toString
+    import spark.implicits._
+    val df = (0 until 20).map { i =>
+      (s"u$i", java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(i * 3600L)), i)
+    }.toDF("url", "warc_ts", "v")
+    val bucketed = TableIO.withBucket(df, 4)
+    TableIO.writeBucket(bucketed.filter(col(TableIO.BucketCol) === 0L), dir, 0L)
+    // crash window: bucket 1's data + manifest land but the process dies
+    // before appendSnapshot — the latest snapshot under-reports the table
+    TableIO.writeBucketData(
+      bucketed.filter(col(TableIO.BucketCol) === 1L), dir, 1L)
+    TableIO.commitManifest(dir, 1L, 5L)
+    assert(TableIO.committedBuckets(dir) == Set(0L, 1L))
+    assert(TableIO.snapshots(dir).last._2 == Set(0L))
+    // reconcile appends exactly one catch-up snapshot with the true set
+    assert(TableIO.reconcileSnapshots(dir).nonEmpty)
+    assert(TableIO.snapshots(dir).last._2 == Set(0L, 1L))
+    assert(TableIO.readSnapshot(spark, dir).count() ==
+      bucketed.filter(col(TableIO.BucketCol) < 2L).count())
+    // no drift → no-op (idempotent on every job start)
+    assert(TableIO.reconcileSnapshots(dir).isEmpty)
+  }
+
   test("bucket metrics table is checkpointed and idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
     TableIO.writeBucketMetrics(spark, dir,

@@ -114,6 +114,26 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extractText(pdf) == "fallback")
   }
 
+  test("stream dict with a NESTED dict (/DecodeParms) still finds /Length and /FlateDecode") {
+    // real crawl PDFs carry predictor params as a nested dict; the dict
+    // window must start at the OUTERMOST '<<' (balanced scan), else the
+    // top-level /Length and /FlateDecode are missed and the stream is
+    // never inflated
+    val raw = "BT 12 TL (nested) Tj ET".getBytes(ISO_8859_1)
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val n = d.deflate(buf); d.end()
+    val c = java.util.Arrays.copyOf(buf, n)
+    val head = s"%PDF-1.4\n1 0 obj\n<< /Length ${c.length} /Filter /FlateDecode " +
+      "/DecodeParms << /Predictor 1 /Columns 4 >> >>\nstream\n"
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(head.getBytes(ISO_8859_1))
+    out.write(c)
+    out.write("\nendstream\nendobj\n%%EOF\n".getBytes(ISO_8859_1))
+    assert(PdfText.extractText(out.toByteArray) == "nested")
+  }
+
   test("corrupt flate payload yields empty text, no throw") {
     val body = "not actually deflated"
     val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\n" +
