@@ -778,18 +778,21 @@ object SparkEntry {
     "q69_feed_entries" -> ((s, dir) => {
       // frontier-seed FEED ingestion (the companion to q54's sitemaps —
       // feeds surface fresh urls first): even docs serve RSS (void-<link>
-      // sibling-text quirk), odd docs Atom (link[href]); both constructions
-      // yield the same logical entries, so ONE oracle covers both branches
-      // and any RSS/Atom asymmetry in the parser breaks the hash
+      // sibling-text quirk) with CDATA-WRAPPED titles and links carrying
+      // raw '&'/'<' — the mainstream-RSS shape; odd docs serve Atom
+      // (link[href]) with the SAME logical title entity-encoded. Both
+      // branches must yield identical logical entries, so ONE oracle
+      // covers them and any CDATA/entity/RSS/Atom asymmetry breaks the
+      // hash.
       val rss = concat(lit("<rss><channel>"),
         expr("concat_ws('', transform(sequence(1, cast(doc_id % 3 + 1 as int)), j -> " +
-          "concat('<item><title>T ', cast(doc_id as string), ' ', cast(j as string), '</title>" +
-          "<link>https://f.example/', cast(doc_id as string), '/', cast(j as string), '</link>" +
+          "concat('<item><title><![CDATA[T ', cast(doc_id as string), ' ', cast(j as string), ' A&B <ok>]]></title>" +
+          "<link><![CDATA[https://f.example/', cast(doc_id as string), '/', cast(j as string), ']]></link>" +
           "<pubDate>D', cast((doc_id + j) % 7 as string), '</pubDate></item>')))"),
         lit("</channel></rss>"))
       val atom = concat(lit("<feed>"),
         expr("concat_ws('', transform(sequence(1, cast(doc_id % 3 + 1 as int)), j -> " +
-          "concat('<entry><title>T ', cast(doc_id as string), ' ', cast(j as string), '</title>" +
+          "concat('<entry><title>T ', cast(doc_id as string), ' ', cast(j as string), ' A&amp;B &lt;ok&gt;</title>" +
           "<link href=\"https://f.example/', cast(doc_id as string), '/', cast(j as string), '\"/>" +
           "<updated>D', cast((doc_id + j) % 7 as string), '</updated></entry>')))"),
         lit("</feed>"))
@@ -1323,7 +1326,7 @@ object SparkEntry {
       "q69_feed_entries" ->
         ("SELECT doc_id, cast(j - 1 AS bigint) AS entry_idx, " +
           "concat('https://f.example/', doc_id, '/', j) AS url, " +
-          "concat('T ', doc_id, ' ', j) AS title, " +
+          "concat('T ', doc_id, ' ', j, ' A&B <ok>') AS title, " +
           "concat('D', (doc_id + j) % 7) AS published " +
           "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j)")
     )

@@ -45,6 +45,52 @@ object Charset {
   }
 }
 
+/** XML-layer lexing shared by the sitemap/feed sources: constructs that are
+  * XML (not HTML) and that the kernel — faithfully to the reference, whose
+  * kMarkupPattern (/root/reference/src/index.ts:833) recognizes only `<!--`
+  * — would otherwise tokenize as literal text.
+  */
+object Xml {
+
+  /** Replace every `<![CDATA[...]]>` section with entity-ENCODED text
+    * BEFORE the kernel parse. XML semantics: CDATA content is literal (no
+    * markup, no entity decoding inside), and real-world RSS wraps nearly
+    * every title/description in CDATA. Encoding `&`/`<`/`>` here is exactly
+    * inverted by the kernel's entity decode on `.text`, so extraction
+    * returns the literal CDATA bytes — and markup inside CDATA stays text
+    * instead of sprouting elements. The KERNEL itself stays unchanged
+    * (reference-faithful: bare `<![CDATA[` in HTML remains literal text);
+    * this is a feed/sitemap-layer concern only. Unterminated sections run
+    * to end of input (lenient, like every other malformed-input path).
+    */
+  def unwrapCdata(xml: String): String = {
+    var i = xml.indexOf("<![CDATA[")
+    if (i < 0) return xml
+    val sb = new java.lang.StringBuilder(xml.length + 64)
+    var pos = 0
+    while (i >= 0) {
+      sb.append(xml, pos, i)
+      val start = i + 9
+      val end = xml.indexOf("]]>", start)
+      val stop = if (end >= 0) end else xml.length
+      var j = start
+      while (j < stop) {
+        xml.charAt(j) match {
+          case '&' => sb.append("&amp;")
+          case '<' => sb.append("&lt;")
+          case '>' => sb.append("&gt;")
+          case c   => sb.append(c)
+        }
+        j += 1
+      }
+      pos = if (end >= 0) end + 3 else xml.length
+      i = xml.indexOf("<![CDATA[", pos)
+    }
+    sb.append(xml, pos, xml.length)
+    sb.toString
+  }
+}
+
 /** Sitemap / sitemap-index parsing: the machine-generated XML is regular
   * enough for the lenient HTML kernel parser, and `<loc>` extraction is a
   * plain selector query — one more consumer of the same kernel (no XML
@@ -53,10 +99,11 @@ object Charset {
 object Sitemap {
 
   /** All `<loc>` values (urlset entries AND nested sitemap-index entries),
-    * document order, trimmed.
+    * document order, trimmed. CDATA-wrapped locs unwrap first
+    * ([[Xml.unwrapCdata]]).
     */
   def locations(xml: String): Seq[String] = {
-    val root = graft.kernel.HtmlParser.parse(xml)
+    val root = graft.kernel.HtmlParser.parse(Xml.unwrapCdata(xml))
     graft.kernel.Query
       .querySelectorAll(root, graft.kernel.Query.compileUnion("loc"))
       .map(_.text.trim).toSeq
@@ -84,7 +131,9 @@ object Feed {
     */
   def entries(xml: String): Seq[FeedEntry] = {
     import graft.kernel.{HtmlParser, Query, Element, TextNode}
-    val root = HtmlParser.parse(xml)
+    // real-world feeds wrap titles/descriptions (and sometimes links) in
+    // CDATA — unwrap at the XML layer before the kernel sees the bytes
+    val root = HtmlParser.parse(Xml.unwrapCdata(xml))
     val unions = scala.collection.mutable.HashMap.empty[String, Array[Array[graft.kernel.SelectorPart]]]
     def sel(e: Element, s: String) = Query.querySelector(e,
       unions.getOrElseUpdate(s, Query.compileUnion(s)))
