@@ -387,7 +387,9 @@ object SparkEntry {
     "q52_url_canonical" -> ((s, dir) => {
       // URL canonicalization as a PURE Column expression (whole-stage
       // codegen, no UDF): messy synthesized urls — mixed-case scheme/host,
-      // default and non-default ports, empty paths, queries, fragments —
+      // default and non-default ports, empty paths, dot segments
+      // (/a/b/../, /./), percent-escapes (unreserved %7E %41 decode;
+      // reserved %2f uppercases and stays), queries, fragments —
       // normalize to the RFC 3986 identity-preserving form. The oracle
       // constructs the expected canonical directly from the parts (no
       // regex on the oracle side — independent of the parse).
@@ -398,8 +400,11 @@ object SparkEntry {
           when(col("doc_id") % 2 === 0, lit(":443")).otherwise(lit(":80")))
           .when(col("doc_id") % 3 === 1, lit(":8080")).otherwise(lit("")),
         when(col("doc_id") % 4 === 0, lit(""))
+          .when(col("doc_id") % 4 === 1, concat(lit("/a/b/../P"), col("doc_id")))
+          .when(col("doc_id") % 4 === 2,
+            concat(lit("/%7Euser/./p%2fq/P%41"), col("doc_id")))
           .otherwise(concat(lit("/P"), col("doc_id"))),
-        when(col("doc_id") % 5 === 0, lit("?b=2&a=1")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("?b=%7e2&a=1")).otherwise(lit("")),
         when(col("doc_id") % 6 === 0, lit("#Sec")).otherwise(lit("")))
       docs(s, dir).select(col("doc_id"), messy.as("url"))
         .withColumn("canonical", graft.ops.UrlOps.canonicalizeUrl(col("url")))
@@ -1066,8 +1071,11 @@ object SparkEntry {
         ("SELECT doc_id, concat('http', CASE WHEN doc_id % 2 = 0 THEN 's' ELSE '' END, " +
           "'://www.host', doc_id % 20, '.example', " +
           "CASE WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END, " +
-          "CASE WHEN doc_id % 4 = 0 THEN '/' ELSE concat('/P', doc_id) END, " +
-          "CASE WHEN doc_id % 5 = 0 THEN '?b=2&a=1' ELSE '' END) AS canonical " +
+          "CASE WHEN doc_id % 4 = 0 THEN '/' " +
+          "WHEN doc_id % 4 = 1 THEN concat('/a/P', doc_id) " +
+          "WHEN doc_id % 4 = 2 THEN concat('/~user/p%2Fq/PA', doc_id) " +
+          "ELSE concat('/P', doc_id) END, " +
+          "CASE WHEN doc_id % 5 = 0 THEN '?b=~2&a=1' ELSE '' END) AS canonical " +
           "FROM documents"),
       "q50_vocabulary" ->
         ("WITH tok AS (SELECT unnest(regexp_extract_all(text, " +

@@ -13,11 +13,17 @@ import org.apache.spark.sql.functions._
   *   - scheme and host lowercased (case-insensitive by spec)
   *   - default port dropped (:80 for http, :443 for https), others kept
   *   - empty path → "/"
-  *   - query preserved byte-for-byte (reordering params changes identity)
+  *   - percent-encoding: UNRESERVED octets decoded (§6.2.2.2 — `%7E`→`~`,
+  *     `%41`→`A`), remaining escapes hex-UPPERCASED (§6.2.2.1); applied to
+  *     path and query (reserved octets like `%2F` stay encoded, so no
+  *     structure changes)
+  *   - dot segments removed from the path (§6.2.2.3 — `/a/./b`→`/a/b`,
+  *     `/a/../b`→`/b`, trailing `/.`|`/..` keeps the slash)
+  *   - query otherwise preserved byte-for-byte (param REORDERING changes
+  *     identity)
   *   - fragment dropped (never sent to the server)
   *
-  * NOT done (identity-changing, documented): www-stripping, percent-decode,
-  * dot-segment resolution, param sorting.
+  * NOT done (identity-changing, documented): www-stripping, param sorting.
   */
 object UrlOps {
 
@@ -36,6 +42,56 @@ object UrlOps {
   def urlQuery(u: Column): Column =
     regexp_extract(u, "^[^?#]*(\\?[^#]*)", 1)
 
+  /** §6.2.2.2 + §6.2.2.1: percent-decode UNRESERVED octets
+    * (ALPHA / DIGIT / `-` / `.` / `_` / `~`) and uppercase the hex digits
+    * of every escape that must remain. Pure Column: split on '%', decode
+    * each chunk's 2-hex prefix via `char(conv(hex,16,10))`, keep reserved
+    * escapes (now hex-uppercased) and malformed '%' runs verbatim. Stays a
+    * native Catalyst expression tree — no UDF boundary in front of
+    * URL-keyed dedup at 10^12 rows.
+    */
+  def decodeUnreserved(u: Column): Column = {
+    val parts = split(u, "%", -1)
+    val head = element_at(parts, 1)
+    val rest = slice(parts, lit(2), greatest(size(parts) - 1, lit(0)))
+    val mapped = transform(rest, p => {
+      val hex = upper(substring(p, 1, 2))
+      val tail = substring(p, 3, Int.MaxValue)
+      val ch = call_function("char", conv(hex, 16, 10).cast("int"))
+      when(hex.rlike("^[0-9A-F]{2}$"),
+        when(ch.rlike("^[A-Za-z0-9._~-]$"), concat(ch, tail))
+          .otherwise(concat(lit("%"), hex, tail)))
+        .otherwise(concat(lit("%"), p)) // malformed escape: keep verbatim
+    })
+    when(size(parts) <= 1, u).otherwise(concat(head, array_join(mapped, "")))
+  }
+
+  /** §6.2.2.3 remove_dot_segments over an absolute path, as a pure Column
+    * `aggregate` fold: segments push onto a stack, `..` pops, `.` is
+    * dropped, and a FINAL dot segment keeps the trailing slash (RFC's
+    * buffer algorithm, state = struct(stack, trailing)). Empty segments
+    * (`//`) are preserved — the RFC removes only dot segments.
+    */
+  def removeDotSegments(path: Column): Column = {
+    val segs = split(path, "/", -1)
+    val rest = slice(segs, lit(2), greatest(size(segs) - 1, lit(0)))
+    val init = struct(
+      array().cast("array<string>").as("st"), lit(false).as("tr"))
+    val folded = aggregate(rest, init, (acc, s) => {
+      val st = acc.getField("st")
+      when(s === ".", struct(st.as("st"), lit(true).as("tr")))
+        .when(s === "..",
+          struct(slice(st, lit(1), greatest(size(st) - 1, lit(0))).as("st"),
+            lit(true).as("tr")))
+        .otherwise(struct(concat(st, array(s)).as("st"), lit(false).as("tr")))
+    })
+    val st = folded.getField("st")
+    val tr = folded.getField("tr")
+    when((path === "").or(!path.startsWith("/")), path) // non-abs: untouched
+      .otherwise(concat(lit("/"), array_join(st, "/"),
+        when(tr && size(st) > 0, lit("/")).otherwise(lit(""))))
+  }
+
   def canonicalizeUrl(u: Column): Column = {
     val scheme = urlScheme(u)
     val host = urlHost(u)
@@ -45,8 +101,12 @@ object UrlOps {
         (scheme === "http" && port === "80") ||
         (scheme === "https" && port === "443"), lit(""))
       .otherwise(concat(lit(":"), port))
-    val path = urlPath(u)
+    // percent-decode BEFORE dot-segment removal: %2E decodes to an
+    // unreserved '.', which then participates in dot handling (the RFC's
+    // ordering); %2F stays encoded so no fake path separators appear
+    val path = removeDotSegments(decodeUnreserved(urlPath(u)))
     val pathPart = when(path === "", lit("/")).otherwise(path)
-    concat(scheme, lit("://"), host, portPart, pathPart, urlQuery(u))
+    concat(scheme, lit("://"), host, portPart, pathPart,
+      decodeUnreserved(urlQuery(u)))
   }
 }

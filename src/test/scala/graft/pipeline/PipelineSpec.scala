@@ -546,6 +546,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == cases.map(_._2))
   }
 
+  test("url canonicalization phase 2: unreserved percent-decode + dot segments") {
+    import spark.implicits._
+    val cases = Seq(
+      // §6.2.2.2: unreserved escapes decode; reserved stay, hex uppercased
+      ("http://h.example/%7Euser", "http://h.example/~user"),
+      ("http://h.example/%41%42c%2fd", "http://h.example/ABc%2Fd"),
+      ("http://h.example/a%2Fb?t=%7e1", "http://h.example/a%2Fb?t=~1"),
+      ("http://h.example/100%25ok", "http://h.example/100%25ok"), // %25 = '%': reserved-class, kept
+      ("http://h.example/50%-off", "http://h.example/50%-off"), // malformed escape verbatim
+      // §6.2.2.3: dot segments
+      ("http://h.example/a/./b", "http://h.example/a/b"),
+      ("http://h.example/a/../b", "http://h.example/b"),
+      ("http://h.example/a/b/../../c", "http://h.example/c"),
+      ("http://h.example/../a", "http://h.example/a"), // over-pop at root
+      ("http://h.example/a/b/..", "http://h.example/a/"), // trailing .. keeps slash
+      ("http://h.example/a/.", "http://h.example/a/"),
+      ("http://h.example/a//b", "http://h.example/a//b"), // empty segs preserved
+      ("http://h.example/a//../b", "http://h.example/a/b"), // .. pops the empty seg
+      // %2E decodes to '.', THEN participates in dot removal (RFC ordering)
+      ("http://h.example/a/%2E%2E/b", "http://h.example/b"))
+    val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i, u) }
+      .toDF("i", "url")
+      .withColumn("c", graft.ops.UrlOps.canonicalizeUrl(org.apache.spark.sql.functions.col("url")))
+    val got = df.orderBy("i").collect().map(_.getString(2)).toSeq
+    got.zip(cases).foreach { case (g, (in, want)) =>
+      assert(g == want, s"canonicalizeUrl($in)")
+    }
+  }
+
   test("decontamination flags docs sharing a benchmark passage, not clean docs") {
     import spark.implicits._
     val passage = "the exact benchmark question text appears verbatim in this document"
