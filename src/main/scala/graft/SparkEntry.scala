@@ -621,17 +621,21 @@ object SparkEntry {
     }),
 
     "q58_pii_scrub" -> ((s, dir) => {
-      // PII redaction: deterministic email/IPv4/phone injected per doc,
-      // counted then replaced by typed placeholders — pure regexp Column
-      // expressions, map-only, whole-stage codegen end to end
+      // PII redaction: deterministic email/IPv4/IPv6/phone (international,
+      // parenthesized, dotted) injected per doc, counted then replaced by
+      // typed placeholders — pure regexp Column expressions, map-only,
+      // whole-stage codegen end to end
+      val d4 = lpad((col("doc_id") % 10000).cast("string"), 4, "0")
       val aug = concat(col("text"),
         lit(" contact user"), col("doc_id"), lit("@mail"), col("doc_id") % 7,
         lit(".example.com from 10."), col("doc_id") % 256, lit(".0."),
-        col("doc_id") % 100, lit(" call +1-555-"),
-        lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+        col("doc_id") % 100, lit(" call +1-555-"), d4,
+        lit(" or (555) 123-"), d4,
+        lit(" alt 555.123."), d4,
+        lit(" net 2001:db8::"), (col("doc_id") % 9999 + 1).cast("string"))
       graft.ops.PiiScrub.scrub(
         docs(s, dir).select(col("doc_id"), aug.as("text")))
-        .select("doc_id", "n_email", "n_ip", "n_phone", "scrubbed")
+        .select("doc_id", "n_email", "n_ip", "n_ipv6", "n_phone", "scrubbed")
     }),
 
     "q59_jsonld" -> ((s, dir) => {
@@ -1209,15 +1213,21 @@ object SparkEntry {
       "q58_pii_scrub" -> {
         val email = graft.ops.PiiScrub.EmailRe
         val ip = graft.ops.PiiScrub.Ipv4Re
+        val ip6 = graft.ops.PiiScrub.Ipv6Re
         val phone = graft.ops.PiiScrub.PhoneRe
         "WITH d AS (SELECT doc_id, concat(text, ' contact user', doc_id, '@mail', " +
           "doc_id % 7, '.example.com from 10.', doc_id % 256, '.0.', doc_id % 100, " +
-          "' call +1-555-', lpad(cast(doc_id % 10000 AS varchar), 4, '0')) AS text " +
+          "' call +1-555-', lpad(cast(doc_id % 10000 AS varchar), 4, '0'), " +
+          "' or (555) 123-', lpad(cast(doc_id % 10000 AS varchar), 4, '0'), " +
+          "' alt 555.123.', lpad(cast(doc_id % 10000 AS varchar), 4, '0'), " +
+          "' net 2001:db8::', doc_id % 9999 + 1) AS text " +
           "FROM documents) " +
           s"SELECT doc_id, cast(len(regexp_extract_all(text, '$email')) AS bigint) AS n_email, " +
           s"cast(len(regexp_extract_all(text, '$ip')) AS bigint) AS n_ip, " +
+          s"cast(len(regexp_extract_all(text, '$ip6')) AS bigint) AS n_ipv6, " +
           s"cast(len(regexp_extract_all(text, '$phone')) AS bigint) AS n_phone, " +
-          s"regexp_replace(regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'), " +
+          s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(text, " +
+          s"'$email', '<EMAIL>', 'g'), '$ip6', '<IPV6>', 'g'), " +
           s"'$ip', '<IP>', 'g'), '$phone', '<PHONE>', 'g') AS scrubbed " +
           "FROM d"
       },

@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * classes, bounded repetition, `\b` word boundaries; no backreferences or
   * lookaround.
   *
-  * Replacement order is part of the contract (email → IPv4 → phone):
-  * email redaction must run before the phone pattern can see digit runs,
+  * Replacement order is part of the contract (email → IPv6 → IPv4 →
+  * phone): email redaction must run before the phone pattern can see
+  * digit runs, IPv6 before IPv4 so a mapped-v4 tail can't be half-eaten,
   * and counts are taken BEFORE any replacement so they report matches in
   * the original text.
   */
@@ -25,21 +26,41 @@ object PiiScrub {
 
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-  val PhoneRe = "\\+\\d{1,2}-\\d{3}-\\d{3,4}(-\\d{4})?"
 
-  /** Adds `n_email` / `n_ip` / `n_phone` counts (over the ORIGINAL text)
-    * and a `scrubbed` column with typed placeholders substituted.
+  /** Phone forms: international `+1-555-123-4567`, parenthesized
+    * `(555) 123-4567`, dotted `555.123.4567`, dashed `555-123-4567`, plus
+    * the short international `+NN-NNN-NNNN`. Alternative order matters and
+    * is identical under Java and RE2 (both leftmost-FIRST by default): the
+    * long form is tried before the short fallback.
+    */
+  val PhoneRe = "(\\+\\d{1,2}[-. ])?(\\(\\d{3}\\) ?|\\d{3}[-.])\\d{3}[-.]\\d{4}" +
+    "|\\+\\d{1,2}-\\d{3}-\\d{3,4}(-\\d{4})?"
+
+  /** IPv6: full 8-group form or `::`-compressed with a trailing group
+    * (`2001:db8::1`, `fe80::a:b`). Hex groups only — the dotted tail of a
+    * v4-mapped address is left to [[Ipv4Re]] (scrub order covers it).
+    * `\b` anchors hold because both ends are hex word chars.
+    */
+  val Ipv6Re = "\\b(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}" +
+    "|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,4})\\b"
+
+  /** Adds `n_email` / `n_ip` / `n_ipv6` / `n_phone` counts (over the
+    * ORIGINAL text) and a `scrubbed` column with typed placeholders
+    * substituted.
     */
   def scrub(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     docs
       .withColumn("n_email", regexp_count(t, lit(EmailRe)).cast("long"))
       .withColumn("n_ip", regexp_count(t, lit(Ipv4Re)).cast("long"))
+      .withColumn("n_ipv6", regexp_count(t, lit(Ipv6Re)).cast("long"))
       .withColumn("n_phone", regexp_count(t, lit(PhoneRe)).cast("long"))
       .withColumn("scrubbed",
         regexp_replace(
           regexp_replace(
-            regexp_replace(t, EmailRe, "<EMAIL>"),
+            regexp_replace(
+              regexp_replace(t, EmailRe, "<EMAIL>"),
+              Ipv6Re, "<IPV6>"),
             Ipv4Re, "<IP>"),
           PhoneRe, "<PHONE>"))
   }

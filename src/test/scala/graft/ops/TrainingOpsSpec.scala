@@ -103,6 +103,30 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[String]("scrubbed") == "no pii here at all")
   }
 
+  test("PiiScrub widened forms: parenthesized/dotted phones and IPv6") {
+    val out = PiiScrub.scrub(docsOf(
+      1L -> "dial (555) 123-4567 or 555.123.4567 or 555-123-4567 done",
+      2L -> "hosts 2001:db8::1 and fe80::a:b and full 2001:0db8:0:0:0:0:0:1 end",
+      3L -> "mapped ::ffff:192.168.0.1 stays whole",
+      4L -> "meeting at 12:30 costs 50%-off nothing to scrub"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Long]("n_phone") == 3L)
+    assert(out(1L).getAs[String]("scrubbed") ==
+      "dial <PHONE> or <PHONE> or <PHONE> done")
+    assert(out(2L).getAs[Long]("n_ipv6") == 3L)
+    assert(out(2L).getAs[String]("scrubbed") ==
+      "hosts <IPV6> and <IPV6> and full <IPV6> end")
+    // v4-mapped: the hex head is not matched by the compressed form
+    // (leading '::'), so the dotted tail is redacted by the IPv4 pass
+    assert(out(3L).getAs[Long]("n_ip") == 1L)
+    assert(out(3L).getAs[String]("scrubbed") == "mapped ::ffff:<IP> stays whole")
+    // times and percent signs are not phones/ips
+    assert(out(4L).getAs[Long]("n_phone") == 0L)
+    assert(out(4L).getAs[Long]("n_ipv6") == 0L)
+    assert(out(4L).getAs[String]("scrubbed") ==
+      "meeting at 12:30 costs 50%-off nothing to scrub")
+  }
+
   test("hashSample is deterministic, nested by threshold, and roughly calibrated") {
     import spark.implicits._
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
