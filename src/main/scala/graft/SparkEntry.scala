@@ -817,6 +817,35 @@ object SparkEntry {
             }
         }
       }.toDF("doc_id", "entry_idx", "url", "title", "published")
+    }),
+
+    "q70_compression" -> ((s, dir) =>
+      // zlib compression-ratio quality signal (spam/template churn
+      // compresses far below prose): per-row pure function, map-only.
+      // FULL hash oracle — CPython zlib and the JVM Deflater emit
+      // byte-identical level-6 streams (both wrap zlib), so the fixture's
+      // compressed_len/raw_len reproduces the exact IEEE double.
+      graft.ops.TextAnalysis.compressionRatio(docs(s, dir))
+        .select(col("doc_id"), col("compression_ratio"))),
+
+    "q71_time_travel" -> ((s, dir) => {
+      // Iceberg-style snapshot TIME TRAVEL through the driver gate: commit
+      // four buckets of the corpus in sequence (each commit appends a
+      // snapshot recording the full committed set), then read the table AS
+      // OF snapshot 3 — exactly buckets 0..2's rows exist in that state,
+      // and the oracle predicts the row set from doc_id arithmetic. Reading
+      // an old state scans ONLY that state's buckets (no full-scan+filter).
+      import graft.pipeline.TableIO
+      val tbl = java.nio.file.Files.createTempDirectory("graft_q71").toString
+      val d = docs(s, dir)
+        .withColumn(TableIO.BucketCol, pmod(col("doc_id"), lit(4)))
+      (0L to 3L).foreach { b =>
+        TableIO.writeBucket(
+          d.filter(col(TableIO.BucketCol) === b).drop(TableIO.BucketCol),
+          tbl, b)
+      }
+      TableIO.readSnapshot(s, tbl, snapshotId = 3L)
+        .select(col("doc_id"), col("lang"))
     })
   )
 
@@ -1346,7 +1375,15 @@ object SparkEntry {
           "concat('https://f.example/', doc_id, '/', j) AS url, " +
           "concat('T ', doc_id, ' ', j, ' A&B <ok>') AS title, " +
           "concat('D', (doc_id + j) % 7) AS published " +
-          "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j)")
+          "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j)"),
+      "q70_compression" ->
+        ("SELECT d.doc_id, CASE WHEN f.raw_len = 0 THEN 1.0 " +
+          "ELSE f.compressed_len::double / f.raw_len END AS compression_ratio " +
+          "FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/zlib_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5"),
+      "q71_time_travel" ->
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 4 < 3"
     )
   }
 }

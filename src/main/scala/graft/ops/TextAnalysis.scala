@@ -237,10 +237,11 @@ object TextAnalysis {
     * classic cheap repetitiveness detector — spam and template churn
     * compress far below prose (ratios ≲0.3 at prose lengths are a red
     * flag), and it catches long-range repetition that n-gram fractions
-    * miss. Deterministic for a fixed Deflater level/strategy on one JVM
-    * (spec-pinned; no SQL oracle — DuckDB has no deflate — same evidence
-    * class as the WARC/JSONL spec-only ops). Per-row pure function:
-    * map-only at any scale.
+    * miss. FULLY hash-oracled (q70): the JVM Deflater and CPython zlib
+    * emit byte-identical level-6 streams (both wrap zlib with default
+    * strategy/memLevel), so a Python fixture keyed by md5(text) carries
+    * the exact compressed length. Per-row pure function: map-only at any
+    * scale.
     */
   def compressionRatio(docs: DataFrame, textCol: String = "text",
       level: Int = 6): DataFrame = {

@@ -24,7 +24,7 @@ scale factor whose documents appear here (sf0.001/sf0.01/sf0.1 by default).
 Usage: gen_expected_fixtures.py [sfDir ...]
 Writes tools/fixtures/{simhash,winnow}_expected.parquet
 """
-import sys, os, hashlib, re
+import sys, os, hashlib, re, zlib
 
 import duckdb
 
@@ -295,7 +295,7 @@ def main():
             continue
         for (t,) in con.execute(f"SELECT text FROM '{p}'").fetchall():
             texts[hashlib.md5(t.encode()).hexdigest()] = t
-    sim_rows, win_rows, band_rows, lang_rows = [], [], [], []
+    sim_rows, win_rows, band_rows, lang_rows, zl_rows = [], [], [], [], []
     for md, t in sorted(texts.items()):
         sim_rows.append((md, simhash(t)))
         for fp in winnow(rolling_hashes(t)):
@@ -303,6 +303,12 @@ def main():
         for b, h in minhash_bands(t):
             band_rows.append((md, b, h))
         lang_rows.append((md, lang_id(t)))
+        # zlib level 6 bytes are IDENTICAL between CPython zlib and the JVM
+        # Deflater (both wrap the same zlib algorithm with default
+        # strategy/memLevel — verified byte-for-byte), so the compression
+        # ratio gets a FULL hash oracle, not a band check
+        raw = t.encode()
+        zl_rows.append((md, len(raw), len(zlib.compress(raw, 6))))
     outdir = os.path.join(os.path.dirname(__file__), "fixtures")
     os.makedirs(outdir, exist_ok=True)
     con.execute("CREATE TABLE sim(text_md5 VARCHAR, simhash BIGINT)")
@@ -317,6 +323,9 @@ def main():
     con.execute("CREATE TABLE lg(text_md5 VARCHAR, lang_guess VARCHAR)")
     con.executemany("INSERT INTO lg VALUES (?, ?)", lang_rows)
     con.execute(f"COPY lg TO '{outdir}/langid_expected.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE zl(text_md5 VARCHAR, raw_len BIGINT, compressed_len BIGINT)")
+    con.executemany("INSERT INTO zl VALUES (?, ?, ?)", zl_rows)
+    con.execute(f"COPY zl TO '{outdir}/zlib_expected.parquet' (FORMAT PARQUET)")
     # LSH ANN expected values, keyed by a corpus digest the oracle recomputes
     # from its own embeddings view (same count across SFs, different vectors)
     lsh_rows = []
