@@ -156,20 +156,27 @@ object Similarity {
     * Coarse centroids are the embeddings of the `nCentroids` smallest
     * vec_ids — a deterministic data sample (no k-means RNG/iteration state),
     * which keeps the whole operator a pure function of the table and lets
-    * the q43 DuckDB oracle rebuild it exactly. On a real cluster the
-    * centroid set is always tiny relative to the corpus (k ≈ sqrt(n) lists
-    * over 10^12 rows is ~10^6 centroids, still one broadcast), so the shape
-    * below is the production shape:
+    * the q43 DuckDB oracle rebuild it exactly. Shape:
     *
     *   - centroids: one skinny collect → broadcast variable (driver-side by
-    *     construction — this is the IVF coarse quantizer, not a data scan)
-    *   - assignment: map-only UDF argmax over the broadcast array — no join,
-    *     no shuffle; at 10^12 rows this is the same per-row cost as writing
-    *     the row
+    *     construction — this is the IVF coarse quantizer, not a data scan;
+    *     even 10^6 centroids × 1 KB vectors is one ~1 GB broadcast)
+    *   - assignment: map-only UDF over the broadcast array — no join, no
+    *     shuffle. DEFAULT (flat) scans all k centroids per row, the right
+    *     cost up to k ≈ 10^4; `hierarchical = true` switches to the
+    *     TWO-LEVEL quantizer (level-1 reps of ~sqrt(k) groups scanned
+    *     first, then only the `probe1` nearest groups' members) — O(√k)
+    *     per row, the shape that holds at k ≈ 10^6 (~10^3 rep cosines +
+    *     probe1·10^3 member cosines instead of 10^6)
     *   - candidate gen: equi-join on the list id (shuffle-on-key), probing
     *     `nProbes`/`nCentroids` of the corpus — the 1/K read amplification
     *     win that makes IVF the on-disk ANN layout of choice
     *   - re-rank: exact cosine inside the probed lists only
+    *
+    * Two-level assignment is exact iff the true centroid's group is among
+    * the `probe1` probed groups — on clustered data (group reps separate)
+    * it EQUALS flat assignment, pinned by spec; the q43-gated default stays
+    * flat so the oracle's flat rebuild matches bit-for-bit.
     *
     * Ties everywhere break toward the smaller id after HALF_UP 4-decimal
     * rounding, mirrored by the oracle. Recall < 1 by construction (a true
@@ -181,7 +188,8 @@ object Similarity {
     * mirroring minhash/lsh hot-bucket hygiene; mirrored by the oracle.
     */
   def ivfTopK(emb: DataFrame, nQueries: Int, k: Int, nCentroids: Int = 16,
-      nProbes: Int = 4, maxList: Int = 100000): DataFrame = {
+      nProbes: Int = 4, maxList: Int = 100000,
+      hierarchical: Boolean = false, probe1: Int = 2): DataFrame = {
     val spark = emb.sparkSession
     val cents: Array[(Long, Array[Float])] = emb
       .filter(col("vec_id") < nCentroids)
@@ -192,19 +200,38 @@ object Similarity {
     require(cents.nonEmpty, "ivfTopK: empty centroid sample")
     val bc = spark.sparkContext.broadcast(cents)
 
-    val assignUdf = udf { (v: Seq[Float]) =>
+    // scored centroid CANDIDATES for one row: flat = every centroid (in
+    // cid order, O(k)); two-level = members of the `probe1` groups whose
+    // level-1 rep (first centroid of each ~sqrt(k)-sized group) scores
+    // highest — O(sqrt(k)) per row
+    def coarseCandidates(v: Seq[Float]): Array[(Double, Long)] = {
       val cs = bc.value
-      var best = cs(0)._1
+      if (!hierarchical || cs.length <= 4)
+        cs.map { case (cid, ce) => (round4(cosineF(v, ce)), cid) }
+      else {
+        val gSize = math.ceil(math.sqrt(cs.length.toDouble)).toInt
+        val groups = cs.grouped(gSize).toArray
+        val probed = groups.zipWithIndex
+          .map { case (grp, gi) => (round4(cosineF(v, grp.head._2)), gi) }
+          .sortBy { case (c, gi) => (-c, gi) }
+          .take(probe1)
+          .map(_._2)
+        probed.flatMap(gi =>
+          groups(gi).map { case (cid, ce) => (round4(cosineF(v, ce)), cid) })
+      }
+    }
+
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val scored = coarseCandidates(v)
+      var best = scored(0)._2
       var bestC = Double.NegativeInfinity
-      cs.foreach { case (cid, ce) =>
-        val c = round4(cosineF(v, ce))
-        if (c > bestC) { bestC = c; best = cid } // ties keep the smaller cid
+      scored.foreach { case (c, cid) =>
+        if (c > bestC) { bestC = c; best = cid } // ties keep the first seen
       }
       best
     }
     val probesUdf = udf { (v: Seq[Float]) =>
-      bc.value
-        .map { case (cid, ce) => (round4(cosineF(v, ce)), cid) }
+      coarseCandidates(v)
         .sortBy { case (c, cid) => (-c, cid) }
         .take(nProbes)
         .map(_._2)

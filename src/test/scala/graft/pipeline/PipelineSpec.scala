@@ -631,6 +631,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, f"IVF recall $recall%.2f below floor vs exact top-k")
   }
 
+  test("ivfTopK two-level coarse quantizer equals flat on clustered data") {
+    import spark.implicits._
+    // 16 centroids = 4 coarse directions x 4 fine offsets: group reps
+    // (centroids 0,4,8,12) each carry a DISTINCT coarse direction, so the
+    // level-1 rep scan always probes the true centroid's group and the
+    // two-level O(sqrt(k)) assignment reproduces the flat O(k) scan
+    val dims = 8
+    def centroid(i: Int): Seq[Float] = {
+      val v = Array.fill(dims)(0f)
+      v(i / 4) = 1f
+      v(4 + i % 4) = 0.3f
+      v.toSeq
+    }
+    val rows = (0 until 16).map(i => (i.toLong, centroid(i))) ++
+      (16 until 96).map { j =>
+        val c = centroid(j % 16).toArray
+        c(4 + j % 4) = c(4 + j % 4) + 0.02f * ((j / 16) % 3 - 1)
+        (j.toLong, c.toSeq)
+      }
+    val emb = rows.toDF("vec_id", "embedding")
+    def run(h: Boolean) = graft.ops.Similarity.ivfTopK(emb, nQueries = 8,
+      k = 3, nCentroids = 16, nProbes = 4, hierarchical = h)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(run(h = false) == run(h = true))
+  }
+
   test("ivfTopK probes fraction of lists: candidate set smaller than corpus") {
     import spark.implicits._
     def vec(seed: Int): Seq[Float] =
