@@ -171,11 +171,24 @@ object ExtractStream {
     * cap neither pair nor join the list. Within a bucket, within one
     * micro-batch, rows are processed in doc_id order (micro-batch iterators
     * carry no order guarantee), so output is deterministic given the batch
-    * boundaries. Pairs may repeat across BANDS (the batch twin's final
-    * `distinct` is the consumer's choice here — dedup downstream or feed a
-    * streaming clustering state). State lives for the life of the query —
-    * the right semantics for dedup (history IS the signal); restart
-    * backstop is the committed-table batch anti-join, same as dedupStream.
+    * boundaries.
+    *
+    * CONSUMER CONTRACT — the emitted MULTISET is exact and pinned by spec:
+    * each (id1, id2) pair emits exactly once per band whose bucket both
+    * members share (at the arrival of the later member), tagged with that
+    * (band, bucket); a pair sharing b bands yields b rows, never more
+    * (per-band state makes a same-band re-emit impossible: the second
+    * member joins the member list on first contact). Cross-band dedup
+    * CANNOT live in this query — Structured Streaming forbids a second
+    * stateful operator downstream of flatMapGroupsWithState — and the
+    * per-pair tags are information a clustering consumer wants anyway
+    * (b/bands estimates the Jaccard similarity, the LSH collision-count
+    * estimator). Consumers wanting distinct pairs apply [[dedupPairs]] on
+    * the sink table / in foreachBatch — the streaming mirror of the
+    * `distinct()` the batch twin (Dedup.minhashCandidates) runs as its own
+    * final exchange. State lives for the life of the query — the right
+    * semantics for dedup (history IS the signal); restart backstop is the
+    * committed-table batch anti-join, same as dedupStream.
     */
   def nearDupCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 200): Dataset[CandidatePair] = {
@@ -203,4 +216,12 @@ object ExtractStream {
           out.iterator
       }
   }
+
+  /** Downstream pair dedup for [[nearDupCandidates]] output (sink table or
+    * foreachBatch): distinct (id1, id2), dropping the per-band tags. One
+    * hash-distinct exchange on the skinny pair projection — the same cost
+    * the batch twin pays for its final `distinct()`.
+    */
+  def dedupPairs(pairs: DataFrame): DataFrame =
+    pairs.select("id1", "id2").distinct()
 }

@@ -211,6 +211,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming near-dup emitted multiset is exact: once per shared band; dedup matches batch twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, String)]
+    val near = "the quick brown fox jumps over the lazy dog again today now"
+    val corpus = Seq(
+      1L -> near,
+      2L -> near, // identical: shares ALL 8 bands with doc 1
+      3L -> (near + " x"), // near-copy: shares some bands
+      4L -> "completely different content entirely here")
+    val q = ExtractStream.nearDupCandidates(
+      input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("neardup_multiset")
+      .outputMode("append").start()
+    try {
+      corpus.foreach { d => input.addData(d); q.processAllAvailable() }
+      val rows = spark.sql(
+        "SELECT id1, id2, band FROM neardup_multiset").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      // CONTRACT: a pair emits exactly once per shared band — never twice
+      // for the same (pair, band)
+      assert(rows.length == rows.toSet.size, "same-band pair re-emitted")
+      // identical docs share every band: pair (1,2) appears exactly 8 times
+      assert(rows.count(r => r._1 == 1L && r._2 == 2L) == 8)
+      // dedup-after equals the batch twin's distinct pair set (q35 path)
+      val streamedDistinct = ExtractStream.dedupPairs(
+        spark.table("neardup_multiset"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val batch = graft.ops.Dedup.minhashCandidates(
+        corpus.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamedDistinct == batch,
+        s"streamed=$streamedDistinct batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming near-dup state respects the hot-bucket cap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
