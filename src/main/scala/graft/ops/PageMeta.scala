@@ -39,6 +39,35 @@ object PageMeta {
   private def parseBytes(html: Array[Byte]) =
     HtmlParser.parse(new String(html, java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Compiled-selector bundle for the per-page extractors — build ONE per
+    * partition (or per test thread): selector compilation is the
+    * compile-once-per-query pattern, not per-row work.
+    */
+  final class PageSelectors {
+    private[ops] val title = Query.compileUnion("title")
+    private[ops] val desc = Query.compileUnion("meta[name=\"description\"]")
+    private[ops] val canon = Query.compileUnion("link[rel=\"canonical\"]")
+    private[ops] val robots = Query.compileUnion("meta[name=\"robots\"]")
+    private[ops] val a = Query.compileUnion("a")
+    private[ops] val table = Query.compileUnion("table")
+  }
+
+  /** Per-page head-metadata extraction (pure kernel function — the exact
+    * logic [[headMeta]] runs per row; corpus goldens pin it on real pages).
+    */
+  def headMetaOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): HeadMeta = {
+    val title = Query.querySelector(root, s.title).map(_.text).getOrElse("")
+    val desc = Query.querySelector(root, s.desc)
+      .flatMap(_.getAttribute("content")).getOrElse("")
+    val canon = Query.querySelector(root, s.canon)
+      .flatMap(_.getAttribute("href")).getOrElse("")
+    val noindex = Query.querySelector(root, s.robots)
+      .flatMap(_.getAttribute("content"))
+      .exists(_.toLowerCase.split("[,\\s]+").contains("noindex"))
+    HeadMeta(id, title, desc, canon, noindex)
+  }
+
   /** (doc_id, html) or a full pages frame → one HeadMeta row per page. */
   def headMeta(pages: DataFrame): Dataset[HeadMeta] = {
     val spark = pages.sparkSession
@@ -46,23 +75,8 @@ object PageMeta {
     pages.select(col("doc_id").cast("long"), col("html"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // compile once per partition — constant selectors
-        val selTitle = Query.compileUnion("title")
-        val selDesc = Query.compileUnion("meta[name=\"description\"]")
-        val selCanon = Query.compileUnion("link[rel=\"canonical\"]")
-        val selRobots = Query.compileUnion("meta[name=\"robots\"]")
-        it.map { case (id, html) =>
-          val root = parseBytes(html)
-          val title = Query.querySelector(root, selTitle).map(_.text).getOrElse("")
-          val desc = Query.querySelector(root, selDesc)
-            .flatMap(_.getAttribute("content")).getOrElse("")
-          val canon = Query.querySelector(root, selCanon)
-            .flatMap(_.getAttribute("href")).getOrElse("")
-          val noindex = Query.querySelector(root, selRobots)
-            .flatMap(_.getAttribute("content"))
-            .exists(_.toLowerCase.split("[,\\s]+").contains("noindex"))
-          HeadMeta(id, title, desc, canon, noindex)
-        }
+        val sels = new PageSelectors
+        it.map { case (id, html) => headMetaOf(id, parseBytes(html), sels) }
       }
   }
 
@@ -70,22 +84,28 @@ object PageMeta {
     * anchors are skipped (they are fragment targets, not edges); `nofollow`
     * follows the whitespace/comma-token reading of rel.
     */
+  /** Per-page edge extraction (pure kernel function shared with
+    * [[outlinks]]; corpus goldens pin it on real pages).
+    */
+  def outlinksOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): Seq[Outlink] =
+    Query.querySelectorAll(root, s.a).iterator.flatMap { a =>
+      a.getAttribute("href").map { href =>
+        val nofollow = a.getAttribute("rel")
+          .exists(_.toLowerCase.split("[,\\s]+").contains("nofollow"))
+        Outlink(id, href, a.text, nofollow)
+      }
+    }.toSeq
+
   def outlinks(pages: DataFrame): Dataset[Outlink] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.select(col("doc_id").cast("long"), col("html"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val selA = Query.compileUnion("a")
+        val sels = new PageSelectors
         it.flatMap { case (id, html) =>
-          val root = parseBytes(html)
-          Query.querySelectorAll(root, selA).iterator.flatMap { a =>
-            a.getAttribute("href").map { href =>
-              val nofollow = a.getAttribute("rel")
-                .exists(_.toLowerCase.split("[,\\s]+").contains("nofollow"))
-              Outlink(id, href, a.text, nofollow)
-            }
-          }
+          outlinksOf(id, parseBytes(html), sels)
         }
       }
   }
@@ -131,32 +151,39 @@ object PageMeta {
     * tables contribute their own rows, not their ancestors'). Same
     * map-only kernel shape as the other extractors.
     */
+  /** Per-page table-row extraction (pure kernel function shared with
+    * [[tables]]; corpus goldens pin it on real pages). Rows:
+    * (doc_id, table_idx, row_idx, is_header, cells-joined-by-|).
+    */
+  def tableRowsOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): Seq[(Long, Int, Int, Boolean, String)] =
+    Query.querySelectorAll(root, s.table).iterator.zipWithIndex.flatMap {
+      case (t, ti) =>
+        val trs = t.childNodes.iterator.collect {
+          case e: graft.kernel.Element
+            if e.tagName.equalsIgnoreCase("tr") => e
+        }.toSeq
+        trs.iterator.zipWithIndex.map { case (tr, ri) =>
+          val cells = tr.childNodes.collect {
+            case e: graft.kernel.Element
+              if e.tagName.equalsIgnoreCase("td") ||
+                e.tagName.equalsIgnoreCase("th") => e
+          }
+          val isHeader = cells.nonEmpty &&
+            cells.forall(_.tagName.equalsIgnoreCase("th"))
+          (id, ti, ri, isHeader, cells.map(_.text).mkString("|"))
+        }
+    }.toSeq
+
   def tables(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages.select(col("doc_id").cast("long"), col("html"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        val selTable = Query.compileUnion("table")
+        val sels = new PageSelectors
         it.flatMap { case (id, html) =>
-          val root = parseBytes(html)
-          Query.querySelectorAll(root, selTable).iterator.zipWithIndex.flatMap {
-            case (t, ti) =>
-              val trs = t.childNodes.iterator.collect {
-                case e: graft.kernel.Element
-                  if e.tagName.equalsIgnoreCase("tr") => e
-              }.toSeq
-              trs.iterator.zipWithIndex.map { case (tr, ri) =>
-                val cells = tr.childNodes.collect {
-                  case e: graft.kernel.Element
-                    if e.tagName.equalsIgnoreCase("td") ||
-                      e.tagName.equalsIgnoreCase("th") => e
-                }
-                val isHeader = cells.nonEmpty &&
-                  cells.forall(_.tagName.equalsIgnoreCase("th"))
-                (id, ti, ri, isHeader, cells.map(_.text).mkString("|"))
-              }
-          }
+          tableRowsOf(id, parseBytes(html), sels)
         }
       }
       .toDF("doc_id", "table_idx", "row_idx", "is_header", "cells")

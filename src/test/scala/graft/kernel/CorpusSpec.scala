@@ -94,6 +94,83 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  // REAL-PAGE HEURISTIC GOLDENS (self-generated regression pins, not
+  // reference-asserted — the reference has no boilerplate/meta/link/table
+  // ops): the round-3 heuristics locked against the 6 real corpus pages so
+  // a behavior drift on real HTML (not just synthesized pages) fails CI.
+  // Values sanity-checked at generation time: google.html genuinely has 0
+  // <a> elements (JS-built page), ffmpeg.html 88 links, gmail.html 156
+  // table rows.
+  private final case class Golden(
+      mainMd5: String, nStripped: Int,
+      titleMd5: String, descMd5: String,
+      canonical: String, noindex: Boolean,
+      nLinks: Int, linksMd5: String,
+      nTableRows: Int, tablesMd5: String)
+
+  private val heuristicGoldens: Map[String, Golden] = Map(
+    "ffmpeg.html" -> Golden(
+      mainMd5 = "eef4911773e4c8ef0dada5764ca95a6d", nStripped = 15,
+      titleMd5 = "348894bd2b3da3f1462b38b34ff75ade", descMd5 = "d41d8cd98f00b204e9800998ecf8427e",
+      canonical = "", noindex = false,
+      nLinks = 88, linksMd5 = "83b4e12d23d82c5e2cb5a70a01625c74",
+      nTableRows = 0, tablesMd5 = "d41d8cd98f00b204e9800998ecf8427e"),
+    "gmail.html" -> Golden(
+      mainMd5 = "eab5c47a4a3be2db80eeb004aef601fa", nStripped = 55,
+      titleMd5 = "c2c85d09e376a526c1b008dcc21ce9c5", descMd5 = "b6ad0c28a9c41e9d963cb5cd1c1ed9f7",
+      canonical = "https://mail.google.com/mail/", noindex = false,
+      nLinks = 57, linksMd5 = "05595bec06eb388d0d0de59de097cc4f",
+      nTableRows = 156, tablesMd5 = "1695fc6e6df5b948cdf4c87ac3b99b32"),
+    "google.html" -> Golden(
+      mainMd5 = "5912061c350157afa48074ff1e244205", nStripped = 14,
+      titleMd5 = "d41d8cd98f00b204e9800998ecf8427e", descMd5 = "d41d8cd98f00b204e9800998ecf8427e",
+      canonical = "", noindex = false,
+      nLinks = 0, linksMd5 = "d41d8cd98f00b204e9800998ecf8427e",
+      nTableRows = 0, tablesMd5 = "d41d8cd98f00b204e9800998ecf8427e"),
+    "hillcrestpartyrentals.html" -> Golden(
+      mainMd5 = "4b7d7c381c14cfc35548243d81cee1ee", nStripped = 3,
+      titleMd5 = "42d9eb2149aadf88ff572ea2183c4ee8", descMd5 = "d41d8cd98f00b204e9800998ecf8427e",
+      canonical = "", noindex = false,
+      nLinks = 29, linksMd5 = "2678a3fd2c451ecf117eb6fcde3df32c",
+      nTableRows = 48, tablesMd5 = "c26ebec1ef895e53df33619958d5c90d"),
+    "incomplete-script" -> Golden(
+      mainMd5 = "f7c3c973e79ad9a4ae9472bba3cb46af", nStripped = 28,
+      titleMd5 = "7241721d293b2f847a465ae4142ef954", descMd5 = "76eda4bbbfdec4d34f2db6e424f3f0fb",
+      canonical = "http://www.ssense.com/women/designers/all/backpacks", noindex = false,
+      nLinks = 108, linksMd5 = "5d943620e9fa2caf72de357795871eef",
+      nTableRows = 0, tablesMd5 = "d41d8cd98f00b204e9800998ecf8427e"),
+    "nice.html" -> Golden(
+      mainMd5 = "6a82a57860cf3b9e98aa5289d5e26c50", nStripped = 0,
+      titleMd5 = "d41d8cd98f00b204e9800998ecf8427e", descMd5 = "d41d8cd98f00b204e9800998ecf8427e",
+      canonical = "", noindex = false,
+      nLinks = 0, linksMd5 = "d41d8cd98f00b204e9800998ecf8427e",
+      nTableRows = 6, tablesMd5 = "0d784c649416db4d1f38f51957207611"))
+
+  test("real-page heuristics match goldens: boilerplate / headMeta / outlinks / tables") {
+    val sels = new graft.ops.PageMeta.PageSelectors
+    heuristicGoldens.foreach { case (name, g) =>
+      whenPresent(name) { html =>
+        val root = HtmlParser.parse(html)
+        val mc = Boilerplate.mainContent(html)
+        assert(md5(mc.main_text) == g.mainMd5, s"$name main_text")
+        assert(mc.n_stripped == g.nStripped, s"$name n_stripped")
+        val hm = graft.ops.PageMeta.headMetaOf(0L, root, sels)
+        assert(md5(hm.title) == g.titleMd5, s"$name title")
+        assert(md5(hm.description) == g.descMd5, s"$name description")
+        assert(hm.canonical == g.canonical, s"$name canonical")
+        assert(hm.noindex == g.noindex, s"$name noindex")
+        val links = graft.ops.PageMeta.outlinksOf(0L, root, sels)
+        assert(links.size == g.nLinks, s"$name link count")
+        assert(md5(links.map(l => s"${l.href}\t${l.anchor}\t${l.nofollow}")
+          .mkString("\n")) == g.linksMd5, s"$name links")
+        val rows = graft.ops.PageMeta.tableRowsOf(0L, root, sels)
+        assert(rows.size == g.nTableRows, s"$name table-row count")
+        assert(md5(rows.map(r => s"${r._2}\t${r._3}\t${r._4}\t${r._5}")
+          .mkString("\n")) == g.tablesMd5, s"$name tables")
+      }
+    }
+  }
+
   // regression pins (self-generated, not reference-asserted): structural
   // stability of the kernel across rounds on the full corpus
   test("corpus extraction is deterministic and non-trivial") {
