@@ -34,7 +34,12 @@ private[kernel] object AttrScanner {
         if (s.regionMatches(true, i, "class", 0, 5)) keyLen = 5
         else if (s.regionMatches(true, i, "id", 0, 2)) keyLen = 2
         if (keyLen > 0) {
-          val key = s.substring(i, i + keyLen)
+          // exact-lowercase check WITHOUT materializing the key substring
+          // (only exact-lowercase keys feed the shorthand fields; a mixed-
+          // case ID= still consumes its value region, setting nothing)
+          val exactId = keyLen == 2 &&
+            s.charAt(i) == 'i' && s.charAt(i + 1) == 'd'
+          val exactClass = keyLen == 5 && s.regionMatches(i, "class", 0, 5)
           var j = i + keyLen
           while (j < n && Js.isSpace(s.charAt(j))) j += 1
           if (j < n && s.charAt(j) == '=') {
@@ -57,8 +62,8 @@ private[kernel] object AttrScanner {
               if (b > j) { value = s.substring(j, b); end = b }
             }
             if (value != null) {
-              if (key == "id") el.id = value
-              else if (key == "class") el.classNames = Js.splitWs(value)
+              if (exactId) el.id = value
+              else if (exactClass) el.classNames = Js.splitWs(value)
               i = end
             } else i += 1
           } else i += 1

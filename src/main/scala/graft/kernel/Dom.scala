@@ -84,6 +84,12 @@ object Element {
 
   private final case class CloseTag(s: String)
 
+  // NOTE: thread-local reuse of the structuredText frame stack was measured
+  // and reverted — long-lived scratch turns every frame push into an
+  // old-gen card-table write shared across threads (see the matching note
+  // in HtmlParser.parse); per-call TLAB allocation scales better at 32
+  // threads.
+
   private[kernel] def serializeNode(node: DomNode, sb: java.lang.StringBuilder): Unit =
     node match {
       case e: Element => serialize(e, sb)

@@ -38,10 +38,13 @@ object HtmlParser {
   private val voidElements: Set[String] =
     Set("area", "base", "br", "col", "hr", "img", "input", "link", "meta", "source")
 
-  // implicit close-by-opening table (src/index.ts:848–878)
-  private val closedByOpening: Map[String, Set[String]] = {
+  // implicit close-by-opening table (src/index.ts:848–878) — a
+  // java.util.HashMap so the per-element-open lookup returns null instead
+  // of allocating an Option (this lookup runs once per opened element)
+  private val closedByOpening: java.util.HashMap[String, Set[String]] = {
     val hs = Set("p", "h1", "h2", "h3", "h4", "h5", "h6")
     val tbl = Set("tr", "thead", "tbody", "tfoot")
+    val m = new java.util.HashMap[String, Set[String]]
     Map(
       "li" -> Set("li"),
       "p" -> hs,
@@ -54,7 +57,8 @@ object HtmlParser {
       "ul" -> Set("ul", "ol"), "ol" -> Set("ol", "ul"),
       "aside" -> Set("aside"), "nav" -> Set("nav"), "form" -> Set("form"),
       "header" -> Set("header"), "footer" -> Set("footer"),
-      "main" -> Set("main"))
+      "main" -> Set("main")).foreach { case (k, v) => m.put(k, v) }
+    m
   }
 
   // raw-text fast-path elements (src/index.ts:879–884)
@@ -79,6 +83,56 @@ object HtmlParser {
   private def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
+  /** Zero-allocation interning of hot tag names: the scanner sees the same
+    * few dozen lowercase tags at ~2 substrings per element (open + close),
+    * which at 6M docs/s × ~10 elements/doc is the single largest string-
+    * allocation source in the kernel (BENCH.md §2: the 32-thread bend is
+    * allocation-bandwidth). Lookup is (length, first char) → candidate
+    * list, compared in place with regionMatches — uppercase or unusual
+    * tags fall back to substring, so semantics are unchanged (tag case is
+    * preserved either way).
+    */
+  private val hotTagLookup: Array[Array[Array[String]]] = {
+    val hot = Array(
+      "a", "b", "i", "p", "q", "s", "u",
+      "br", "dd", "dl", "dt", "em", "h1", "h2", "h3", "h4", "h5", "h6",
+      "hr", "li", "ol", "rp", "rt", "td", "th", "tr", "ul",
+      "col", "dfn", "dir", "div", "img", "ins", "kbd", "loc", "map", "nav",
+      "pre", "rss", "sub", "sup", "url", "var", "wbr",
+      "area", "base", "body", "cite", "code", "feed", "form", "head",
+      "html", "item", "link", "main", "mark", "meta", "span", "time",
+      "aside", "audio", "entry", "input", "label", "small", "style",
+      "table", "tbody", "tfoot", "thead", "title", "video",
+      "button", "canvas", "figure", "footer", "header", "iframe", "legend",
+      "object", "option", "script", "select", "source", "strong",
+      "address", "article", "caption", "channel", "details", "pubDate",
+      "section", "summary")
+    val table = Array.fill(9)(new Array[Array[String]](26))
+    hot.groupBy(t => (t.length, t.charAt(0))).foreach { case ((len, c0), ts) =>
+      if (len <= 8 && c0 >= 'a' && c0 <= 'z') table(len)(c0 - 'a') = ts
+    }
+    table
+  }
+
+  private def internTag(data: String, start: Int, end: Int): String = {
+    val len = end - start
+    if (len <= 8) {
+      val c0 = data.charAt(start)
+      if (c0 >= 'a' && c0 <= 'z') {
+        val cands = hotTagLookup(len)(c0 - 'a')
+        if (cands != null) {
+          var i = 0
+          while (i < cands.length) {
+            val cand = cands(i)
+            if (data.regionMatches(start, cand, 0, len)) return cand
+            i += 1
+          }
+        }
+      }
+    }
+    data.substring(start, end)
+  }
+
   /** One token from the scanner. For comments only start/end are meaningful. */
   private final class Token {
     var start: Int = 0
@@ -94,9 +148,11 @@ object HtmlParser {
     var end: Int = 0
     var blobEnd: Int = 0
     var self: Boolean = false
-    // reusable DFS scratch (one instance per parse, not per token)
-    val fpos = new ArrayBuffer[Int](8)
-    val fchoice = new ArrayBuffer[Int](8)
+    // reusable DFS scratch (one instance per parse, not per token) — LAZY:
+    // real-world pages take the allocation-free fast tag tail ~always, so
+    // the common parse never pays for the two DFS buffers
+    lazy val fpos = new ArrayBuffer[Int](8)
+    lazy val fchoice = new ArrayBuffer[Int](8)
   }
 
   private def isJunkChar(c: Char): Boolean =
@@ -340,12 +396,17 @@ object HtmlParser {
           val nameStart = j
           j += 1
           while (j < n && AttrScanner.isNameChar(data.charAt(j))) j += 1
-          val tag = data.substring(nameStart, j)
           if (fastTagTail(data, j, tail) || matchTagTail(data, j, tail)) {
             tok.start = i; tok.end = tail.end; tok.isComment = false
-            tok.closing = closing; tok.tag = tag
-            tok.attrBlob =
-              if (tail.blobEnd == j) "" else data.substring(j, tail.blobEnd)
+            tok.closing = closing; tok.tag = internTag(data, nameStart, j)
+            // the attr blob is stored pre-trimmed (Js.trim bounds computed
+            // in place) so Element construction costs ONE substring, not a
+            // substring + a trim copy
+            var bs = j
+            var be = tail.blobEnd
+            while (bs < be && Js.isSpace(data.charAt(bs))) bs += 1
+            while (be > bs && Js.isSpace(data.charAt(be - 1))) be -= 1
+            tok.attrBlob = if (bs == be) "" else data.substring(bs, be)
             tok.self = tail.self
             return tok
           }
@@ -361,6 +422,12 @@ object HtmlParser {
     * `valid` set. Clones reference `parse()` exactly, including the
     * malformed-HTML repair pass.
     */
+  // NOTE on scratch reuse: thread-local reuse of the parse stack / token /
+  // tag-tail across calls was measured and REVERTED — the long-lived
+  // buffers receive young-gen reference stores on every push, and the
+  // resulting card-table traffic (all threads hammering the same few card
+  // bytes forever) more than doubled the 32-thread wall time. Per-call
+  // young allocations stay inside each thread's TLAB and scale cleanly.
   def parse(data: String, options: ParseOptions = ParseOptions()): Element = {
     val root = new Element("", "")
     var currentParent: Element = root
@@ -394,18 +461,18 @@ object HtmlParser {
           if (!closing) {
             // implicit close by opening (skipped for explicit self-close)
             if (!t.self) {
-              val closes = closedByOpening.get(currentParent.tagName) match {
-                case Some(set) => set.contains(tag) || jsProtoKeys.contains(tag)
-                case None =>
+              val set = closedByOpening.get(currentParent.tagName)
+              val closes =
+                if (set != null) set.contains(tag) || jsProtoKeys.contains(tag)
+                else
                   jsProtoKeys.contains(currentParent.tagName) &&
                     jsFunctionProtoKeys.contains(tag)
-              }
               if (closes) {
                 stack.remove(stack.length - 1)
                 currentParent = if (stack.nonEmpty) stack.last else root
               }
             }
-            val el = new Element(tag, Js.trim(t.attrBlob))
+            val el = new Element(tag, t.attrBlob) // blob pre-trimmed by scanner
             currentParent.appendChild(el)
             currentParent = el
             stack += el
