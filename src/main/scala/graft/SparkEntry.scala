@@ -846,6 +846,23 @@ object SparkEntry {
       }
       TableIO.readSnapshot(s, tbl, snapshotId = 3L)
         .select(col("doc_id"), col("lang"))
+    }),
+
+    "q72_templates" -> ((s, dir) => {
+      // DOM template clustering: per page, a structural fingerprint over
+      // the element skeleton (text/attrs excluded) and the population +
+      // canonical representative of its template group — the corpus-level
+      // template-churn signal (same-CMS pages cluster even when per-page
+      // heuristics pass them). Pages synthesize doc_id%5+1 repeated
+      // sections, so the oracle predicts group sizes/reps from doc_id
+      // arithmetic without computing the hash (fp itself not emitted to
+      // the compare — it is not SQL-reproducible).
+      val page = concat(lit("<div>"),
+        expr("repeat('<section><p>x</p></section>', cast(doc_id % 5 + 1 as int))"),
+        lit("</div>"))
+      graft.ops.PageMeta.templates(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .select("doc_id", "template_docs", "template_rep")
     })
   )
 
@@ -1383,7 +1400,12 @@ object SparkEntry {
           "JOIN '/root/repo/tools/fixtures/zlib_expected.parquet' f " +
           "ON md5(d.text) = f.text_md5"),
       "q71_time_travel" ->
-        "SELECT doc_id, lang FROM documents WHERE doc_id % 4 < 3"
+        "SELECT doc_id, lang FROM documents WHERE doc_id % 4 < 3",
+      "q72_templates" ->
+        ("WITH g AS (SELECT doc_id % 5 AS k, count(*) AS template_docs, " +
+          "min(doc_id) AS template_rep FROM documents GROUP BY 1) " +
+          "SELECT d.doc_id, g.template_docs, g.template_rep " +
+          "FROM documents d JOIN g ON d.doc_id % 5 = g.k")
     )
   }
 }

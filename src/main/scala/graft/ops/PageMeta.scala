@@ -189,6 +189,67 @@ object PageMeta {
       .toDF("doc_id", "table_idx", "row_idx", "is_header", "cells")
   }
 
+  /** Structural TEMPLATE fingerprint of a page: FNV-1a/64 over the
+    * element-tag outline (tag names + depth transitions, text/attrs
+    * excluded) — two pages render the same fingerprint iff their element
+    * skeletons are identical, which is exactly the "same CMS template"
+    * signal corpus pipelines cluster on (template churn is boilerplate at
+    * corpus scale even when per-page heuristics pass it). Iterative DFS,
+    * O(doc), no strings materialized.
+    */
+  def templateFpOf(root: graft.kernel.Element): Long = {
+    val FnvPrime = 0x100000001b3L
+    var h = 0xcbf29ce484222325L
+    def mixChar(c: Char): Unit = { h = (h ^ c) * FnvPrime }
+    val stack = new scala.collection.mutable.ArrayBuffer[AnyRef](32)
+    stack += root
+    while (stack.nonEmpty) {
+      stack.remove(stack.length - 1) match {
+        case e: graft.kernel.Element =>
+          mixChar('<')
+          val t = e.tagName
+          var i = 0
+          while (i < t.length) { mixChar(t.charAt(i)); i += 1 }
+          stack += PopMark
+          var j = e.childNodes.length - 1
+          while (j >= 0) {
+            e.childNodes(j) match {
+              case c: graft.kernel.Element => stack += c
+              case _ => // text/comments are NOT part of the template
+            }
+            j -= 1
+          }
+        case _ => mixChar('>') // PopMark: depth-exit transition
+      }
+    }
+    h
+  }
+  private object PopMark
+
+  /** TEMPLATE CLUSTERING over a pages frame: per page, the structural
+    * fingerprint plus the population and canonical representative
+    * (smallest doc_id) of its template group. Shape: map-only kernel
+    * fingerprint → ONE hash agg on the 8-byte fp (map-side combined) →
+    * equi-join back; the template table is tiny relative to the corpus
+    * (thousands of templates per billions of pages), broadcast-able at
+    * scale.
+    */
+  def templates(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    val fps = pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, html) => (id, templateFpOf(parseBytes(html))) }
+      }
+      .toDF("doc_id", "template_fp")
+    val groups = fps.groupBy("template_fp")
+      .agg(count(lit(1)).as("template_docs"),
+        min(col("doc_id")).as("template_rep"))
+    fps.join(groups, "template_fp")
+      .select("doc_id", "template_fp", "template_docs", "template_rep")
+  }
+
   /** ANCHOR-TEXT aggregation per link target — the web-graph relevance
     * signal (what the rest of the web calls a page): per target url, the
     * incoming-edge count, distinct anchor phrasings, and the dominant

@@ -24,6 +24,11 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     Seq((1L, html.getBytes("UTF-8"))).toDF("doc_id", "html")
   }
 
+  private def pagesOfMany(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    docs.map { case (id, h) => (id, h.getBytes("UTF-8")) }.toDF("doc_id", "html")
+  }
+
   test("headMeta: all fields present") {
     val m = PageMeta.headMeta(pagesOf(
       "<html><head><title>T1</title>" +
@@ -62,6 +67,33 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == 2)
     assert(rows(0).href == "/x" && rows(0).anchor == "first & best" && rows(0).nofollow)
     assert(rows(1).href == "/y" && !rows(1).nofollow) // whole-token only
+  }
+
+  test("template fingerprint: structure-only identity, nesting-sensitive") {
+    def fp(html: String) =
+      PageMeta.templateFpOf(graft.kernel.HtmlParser.parse(html))
+    // same skeleton, different text/attrs/ids → SAME template
+    assert(fp("<div id=\"a\"><p class=\"x\">hello</p></div>") ==
+      fp("<div><p>completely other words</p></div>"))
+    // extra element → different template
+    assert(fp("<div><p>a</p></div>") != fp("<div><p><i>a</i></p></div>"))
+    // nesting vs siblings must differ (the depth-exit marker)
+    assert(fp("<div><p>a</p></div><p>b</p>") != fp("<div><p>a</p><p>b</p></div>"))
+    // tag identity matters
+    assert(fp("<div><p>a</p></div>") != fp("<div><li>a</li></div>"))
+  }
+
+  test("templates: group populations and canonical representatives") {
+    val pages = pagesOfMany(Seq(
+      10L -> "<div><p>x</p></div>",
+      11L -> "<div><p>other text</p></div>",
+      12L -> "<div><span>y</span></div>"))
+    val rows = PageMeta.templates(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("template_docs"), r.getAs[Long]("template_rep"))).toMap
+    assert(rows(10L) == ((2L, 10L)))
+    assert(rows(11L) == ((2L, 10L))) // same template, rep = smallest id
+    assert(rows(12L) == ((1L, 12L)))
   }
 
   test("degrees: out/in aggregations reconcile with the edge list") {
