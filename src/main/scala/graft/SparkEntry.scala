@@ -863,6 +863,53 @@ object SparkEntry {
       graft.ops.PageMeta.templates(
         docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
         .select("doc_id", "template_docs", "template_rep")
+    }),
+
+    "q73_hreflang" -> ((s, dir) => {
+      // hreflang ALTERNATES — the multilingual-corpus construction signal:
+      // link[rel=alternate] hreflang/href pairs cluster the same logical
+      // document across languages. Synthesized heads carry an en alternate,
+      // a doc-lang alternate, a conditional x-default, plus a stylesheet
+      // link and an href-less alternate that must BOTH be skipped.
+      val page = concat(
+        lit("<html><head>"),
+        lit("<link rel=\"alternate\" hreflang=\"en\" href=\"https://ex.com/en/"),
+        col("doc_id"), lit("\">"),
+        lit("<link rel=\"alternate\" hreflang=\""), col("lang"),
+        lit("\" href=\"https://ex.com/"), col("lang"), lit("/"), col("doc_id"),
+        lit("\">"),
+        when(col("doc_id") % 3 === 0,
+          lit("<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://ex.com/\">"))
+          .otherwise(lit("")),
+        lit("<link rel=\"stylesheet\" href=\"/s.css\">"),
+        lit("<link rel=\"alternate\" hreflang=\"de\">"),
+        lit("</head><body><p>x</p></body></html>"))
+      graft.ops.PageMeta.alternates(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .select(col("doc_id"), col("alt_idx").cast("long").as("alt_idx"),
+          col("hreflang"), col("href"))
+    }),
+
+    "q74_canonical_dedup" -> ((s, dir) => {
+      // canonical-URL dedup — the dedup pass that runs BEFORE content
+      // dedup in a real crawl: pages declaring the same canonical are one
+      // logical document. Composes the kernel selector path (headMeta
+      // canonical extraction) + URL canonicalization (the embedded
+      // canonicals are deliberately messy: mixed case, default port, dot
+      // segments) + keep-smallest-id materialization. Every stage changes
+      // the result; the oracle predicts survivors from doc_id arithmetic.
+      val page = concat(
+        lit("<html><head><title>t</title>"),
+        lit("<link rel=\"canonical\" href=\"HTTPS://C.Example:443/a/../"),
+        col("doc_id") % 100, lit("\"></head><body><p>x</p></body></html>"))
+      val hm = graft.ops.PageMeta.headMeta(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .toDF()
+      hm.select(col("doc_id"),
+        graft.ops.UrlOps.canonicalizeUrl(col("canonical")).as("canonical"))
+        .groupBy("canonical")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dupes"))
+        .select("doc_id", "canonical", "n_dupes")
     })
   )
 
@@ -1405,7 +1452,20 @@ object SparkEntry {
         ("WITH g AS (SELECT doc_id % 5 AS k, count(*) AS template_docs, " +
           "min(doc_id) AS template_rep FROM documents GROUP BY 1) " +
           "SELECT d.doc_id, g.template_docs, g.template_rep " +
-          "FROM documents d JOIN g ON d.doc_id % 5 = g.k")
+          "FROM documents d JOIN g ON d.doc_id % 5 = g.k"),
+      "q73_hreflang" ->
+        ("SELECT doc_id, cast(0 AS bigint) AS alt_idx, 'en' AS hreflang, " +
+          "concat('https://ex.com/en/', doc_id) AS href FROM documents " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(1 AS bigint), lang, " +
+          "concat('https://ex.com/', lang, '/', doc_id) FROM documents " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(2 AS bigint), 'x-default', 'https://ex.com/' " +
+          "FROM documents WHERE doc_id % 3 = 0"),
+      "q74_canonical_dedup" ->
+        ("SELECT min(doc_id) AS doc_id, " +
+          "concat('https://c.example/', doc_id % 100) AS canonical, " +
+          "count(*) AS n_dupes FROM documents GROUP BY 2")
     )
   }
 }

@@ -50,6 +50,7 @@ object PageMeta {
     private[ops] val robots = Query.compileUnion("meta[name=\"robots\"]")
     private[ops] val a = Query.compileUnion("a")
     private[ops] val table = Query.compileUnion("table")
+    private[ops] val alternate = Query.compileUnion("link[rel=\"alternate\"]")
   }
 
   /** Per-page head-metadata extraction (pure kernel function — the exact
@@ -187,6 +188,40 @@ object PageMeta {
         }
       }
       .toDF("doc_id", "table_idx", "row_idx", "is_header", "cells")
+  }
+
+  /** hreflang ALTERNATES — the multilingual-corpus construction signal:
+    * `<link rel="alternate" hreflang=".." href="..">` clusters the same
+    * logical document across languages (parallel-text mining, per-language
+    * dedup keys, x-default routing). One row per alternate in document
+    * order; entries missing href or hreflang are skipped (they are not
+    * language alternates). Map-only kernel pass like every extractor here.
+    */
+  def alternatesOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): Seq[(Long, Int, String, String)] =
+    Query.querySelectorAll(root, s.alternate).iterator
+      .flatMap { l =>
+        for {
+          lang <- l.getAttribute("hreflang").filter(_.nonEmpty)
+          href <- l.getAttribute("href").filter(_.nonEmpty)
+        } yield (lang, href)
+      }
+      .zipWithIndex
+      .map { case ((lang, href), i) => (id, i, lang, href) }
+      .toSeq
+
+  def alternates(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sels = new PageSelectors
+        it.flatMap { case (id, html) =>
+          alternatesOf(id, parseBytes(html), sels)
+        }
+      }
+      .toDF("doc_id", "alt_idx", "hreflang", "href")
   }
 
   /** Structural TEMPLATE fingerprint of a page: FNV-1a/64 over the

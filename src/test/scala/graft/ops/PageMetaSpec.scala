@@ -69,6 +69,20 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).href == "/y" && !rows(1).nofollow) // whole-token only
   }
 
+  test("alternates: hreflang/href pairs in order; stylesheet and href-less skipped") {
+    val rows = PageMeta.alternates(pagesOf(
+      "<head><link rel=\"alternate\" hreflang=\"en\" href=\"https://e/en\">" +
+        "<link rel=\"stylesheet\" href=\"/s.css\">" +
+        "<link rel=\"alternate\" hreflang=\"de\">" + // no href: skipped
+        "<link rel=\"alternate\" href=\"https://e/feed\">" + // no hreflang: skipped
+        "<link rel=\"alternate\" hreflang=\"x-default\" href=\"https://e/\">" +
+        "</head>")).collect()
+      .map(r => (r.getAs[Long]("alt_idx"), r.getAs[String]("hreflang"),
+        r.getAs[String]("href")))
+    assert(rows.toSeq == Seq((0L, "en", "https://e/en"),
+      (1L, "x-default", "https://e/")))
+  }
+
   test("template fingerprint: structure-only identity, nesting-sensitive") {
     def fp(html: String) =
       PageMeta.templateFpOf(graft.kernel.HtmlParser.parse(html))
