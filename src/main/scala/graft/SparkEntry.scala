@@ -910,7 +910,14 @@ object SparkEntry {
         .groupBy("canonical")
         .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dupes"))
         .select("doc_id", "canonical", "n_dupes")
-    })
+    }),
+
+    "q75_bpe_pairs" -> ((s, dir) =>
+      // tokenizer TRAINING step: adjacent symbol-pair counts weighted by
+      // word frequency (the argmax is the next BPE merge). Pair generation
+      // runs over the distinct-vocabulary table, not the corpus — the
+      // map-reduce shape BPE trainers distribute
+      graft.ops.TextAnalysis.bpePairCounts(docs(s, dir), minCount = 5))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1465,7 +1472,16 @@ object SparkEntry {
       "q74_canonical_dedup" ->
         ("SELECT min(doc_id) AS doc_id, " +
           "concat('https://c.example/', doc_id % 100) AS canonical, " +
-          "count(*) AS n_dupes FROM documents GROUP BY 2")
+          "count(*) AS n_dupes FROM documents GROUP BY 2"),
+      "q75_bpe_pairs" ->
+        ("WITH tok AS (SELECT unnest(regexp_extract_all(text, " +
+          "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+|\\s+')) AS token FROM documents), " +
+          "tc AS (SELECT token, count(*) AS n FROM tok " +
+          "WHERE NOT regexp_matches(token, '^\\s+$') GROUP BY token), " +
+          "p AS (SELECT substr(token, i, 2) AS pair, n FROM tc, " +
+          "unnest(range(1, length(token))) AS r(i) WHERE length(token) >= 2) " +
+          "SELECT pair, cast(sum(n) AS bigint) AS n FROM p " +
+          "GROUP BY pair HAVING sum(n) >= 5")
     )
   }
 }

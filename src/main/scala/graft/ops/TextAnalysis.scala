@@ -213,6 +213,26 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
+  /** BPE MERGE-PAIR counting — the first real step of tokenizer TRAINING
+    * (after [[vocabulary]] gives word → count): every adjacent symbol pair
+    * inside every distinct word, weighted by the word's corpus frequency;
+    * the highest-count pair is the next BPE merge. Done the map-reduce way
+    * BPE trainers actually distribute it: pair generation runs over the
+    * (tiny) distinct-vocabulary table, NOT over the corpus — a million-
+    * occurrence word contributes its pairs once with weight n. Pure
+    * Column (`transform(sequence)` + explode + one map-side-combined
+    * agg); exact integers, so the oracle reproduces every count.
+    */
+  def bpePairCounts(docs: DataFrame, minCount: Long = 2,
+      textCol: String = "text"): DataFrame =
+    vocabulary(docs, minCount = 1, textCol)
+      .filter(length(col("token")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))"))
+        .as("pair"), col("n"))
+      .groupBy("pair").agg(sum(col("n")).as("n"))
+      .filter(col("n") >= minCount)
+
   /** Benchmark DECONTAMINATION: for every training doc, how much of it
     * appears verbatim in a benchmark/eval set — measured as shared
     * winnowing fingerprints (robust to position shifts by construction;

@@ -127,6 +127,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "meeting at 12:30 costs 50%-off nothing to scrub")
   }
 
+  test("bpePairCounts: frequency-weighted adjacent pairs over the vocabulary") {
+    val out = TextAnalysis.bpePairCounts(
+      docsOf(1L -> "ab ab cd", 2L -> "ab aaa x"), minCount = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // "ab" occurs 3x -> pair 'ab' weight 3; "cd" 1x; "aaa" 1x contributes
+    // TWO 'aa' positions with weight 1 each; single-char "x" contributes
+    // nothing
+    assert(out == Map("ab" -> 3L, "cd" -> 1L, "aa" -> 2L))
+  }
+
   test("hashSample is deterministic, nested by threshold, and roughly calibrated") {
     import spark.implicits._
     val docs = (0L until 2000L).map(i => (i, if (i % 2 == 0) "en" else "fr"))
