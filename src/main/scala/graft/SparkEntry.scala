@@ -917,7 +917,22 @@ object SparkEntry {
       // word frequency (the argmax is the next BPE merge). Pair generation
       // runs over the distinct-vocabulary table, not the corpus — the
       // map-reduce shape BPE trainers distribute
-      graft.ops.TextAnalysis.bpePairCounts(docs(s, dir), minCount = 5))
+      graft.ops.TextAnalysis.bpePairCounts(docs(s, dir), minCount = 5)),
+
+    "q76_nfc_normalize" -> ((s, dir) => {
+      // Unicode NFC canonicalization before dedup: even docs get DECOMPOSED
+      // sequences appended (e + combining acute, A + combining ring) that
+      // must compose to é / Å; odd docs pass through already-NFC. The
+      // oracle recomputes with DuckDB's independent utf8proc
+      // nfc_normalize — two unrelated Unicode implementations must agree
+      // byte-for-byte.
+      val aug = when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" cafe\u0301 A\u030A"))) // decomposed on purpose
+        .otherwise(col("text"))
+      graft.ops.TextAnalysis.nfcNormalize(
+        docs(s, dir).select(col("doc_id"), aug.as("text")))
+        .select("doc_id", "nfc_text", "was_normalized")
+    })
   )
 
   def oracleSql: Map[String, String] = {
@@ -1481,7 +1496,13 @@ object SparkEntry {
           "p AS (SELECT substr(token, i, 2) AS pair, n FROM tc, " +
           "unnest(range(1, length(token))) AS r(i) WHERE length(token) >= 2) " +
           "SELECT pair, cast(sum(n) AS bigint) AS n FROM p " +
-          "GROUP BY pair HAVING sum(n) >= 5")
+          "GROUP BY pair HAVING sum(n) >= 5"),
+      "q76_nfc_normalize" ->
+        ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0 THEN " +
+          "concat(text, ' caf', chr(101), chr(769), ' ', chr(65), chr(778)) " +
+          "ELSE text END AS t FROM documents) " +
+          "SELECT doc_id, nfc_normalize(t) AS nfc_text, " +
+          "t <> nfc_normalize(t) AS was_normalized FROM d")
     )
   }
 }

@@ -213,6 +213,26 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
 
+  /** Unicode NFC normalization — the canonicalization pass a text pipeline
+    * runs BEFORE any dedup/fingerprinting: composed (U+00E9 é) and
+    * decomposed (e + U+0301) spellings of the same text otherwise produce
+    * different dedup keys, different fingerprints, and double-counted
+    * vocabulary. Per-row pure (JDK `java.text.Normalizer`), map-only at
+    * any scale; `was_normalized` is the audit flag (fraction of docs that
+    * actually changed). Oracle-checked against DuckDB's INDEPENDENT
+    * utf8proc-based `nfc_normalize` — two unrelated Unicode
+    * implementations must agree byte-for-byte for q76 to hash green.
+    */
+  def nfcNormalize(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val nfc = udf { (s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    docs
+      .withColumn("nfc_text", nfc(col(textCol)))
+      .withColumn("was_normalized", col(textCol) =!= col("nfc_text"))
+  }
+
   /** BPE MERGE-PAIR counting — the first real step of tokenizer TRAINING
     * (after [[vocabulary]] gives word → count): every adjacent symbol pair
     * inside every distinct word, weighted by the word's corpus frequency;

@@ -127,6 +127,17 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "meeting at 12:30 costs 50%-off nothing to scrub")
   }
 
+  test("nfcNormalize composes decomposed sequences; NFC text passes through") {
+    val out = TextAnalysis.nfcNormalize(docsOf(
+      1L -> "café and Ångström", // decomposed
+      2L -> "plain ascii stays put"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("nfc_text") == "café and Ångström")
+    assert(out(1L).getAs[Boolean]("was_normalized"))
+    assert(out(2L).getAs[String]("nfc_text") == "plain ascii stays put")
+    assert(!out(2L).getAs[Boolean]("was_normalized"))
+  }
+
   test("bpePairCounts: frequency-weighted adjacent pairs over the vocabulary") {
     val out = TextAnalysis.bpePairCounts(
       docsOf(1L -> "ab ab cd", 2L -> "ab aaa x"), minCount = 1)
