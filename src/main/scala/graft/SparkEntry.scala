@@ -932,6 +932,36 @@ object SparkEntry {
       graft.ops.TextAnalysis.nfcNormalize(
         docs(s, dir).select(col("doc_id"), aug.as("text")))
         .select("doc_id", "nfc_text", "was_normalized")
+    }),
+
+    "q77_reciprocal_hreflang" -> ((s, dir) => {
+      // parallel-corpus pair mining: every doc spawns an en page claiming
+      // a fr alternate, and a fr page that claims the en back — EXCEPT
+      // every 7th doc, whose fr page omits the back-link and must not
+      // verify. Kernel-extracts alternates from both synthesized pages,
+      // then ONE self equi-join on the (href ↔ url) keys keeps only
+      // bidirectionally-confirmed pairs.
+      val d = docs(s, dir)
+      val enPage = concat(
+        lit("<head><link rel=\"alternate\" hreflang=\"fr\" href=\"https://p.ex/fr/"),
+        col("doc_id"), lit("\"></head>"))
+      val frPage = concat(lit("<head>"),
+        when(col("doc_id") % 7 =!= 0,
+          concat(lit("<link rel=\"alternate\" hreflang=\"en\" href=\"https://p.ex/en/"),
+            col("doc_id"), lit("\">"))).otherwise(lit("")),
+        lit("</head>"))
+      val pages = d.select((col("doc_id") * 2).as("pid"),
+          concat(lit("https://p.ex/en/"), col("doc_id")).as("url"),
+          encode(enPage, "UTF-8").as("html"))
+        .unionAll(d.select((col("doc_id") * 2 + 1).as("pid"),
+          concat(lit("https://p.ex/fr/"), col("doc_id")).as("url"),
+          encode(frPage, "UTF-8").as("html")))
+      val alts = graft.ops.PageMeta.alternates(
+        pages.select(col("pid").as("doc_id"), col("html")))
+      val withUrl = alts
+        .join(pages.select(col("pid").as("doc_id"), col("url")), "doc_id")
+        .select("url", "hreflang", "href")
+      graft.ops.PageMeta.reciprocalAlternates(withUrl)
     })
   )
 
@@ -1502,7 +1532,12 @@ object SparkEntry {
           "concat(text, ' caf', chr(101), chr(769), ' ', chr(65), chr(778)) " +
           "ELSE text END AS t FROM documents) " +
           "SELECT doc_id, nfc_normalize(t) AS nfc_text, " +
-          "t <> nfc_normalize(t) AS was_normalized FROM d")
+          "t <> nfc_normalize(t) AS was_normalized FROM d"),
+      "q77_reciprocal_hreflang" ->
+        ("SELECT concat('https://p.ex/en/', doc_id) AS url1, " +
+          "concat('https://p.ex/fr/', doc_id) AS url2, " +
+          "'en' AS lang_of_1, 'fr' AS lang_of_2 " +
+          "FROM documents WHERE doc_id % 7 <> 0")
     )
   }
 }

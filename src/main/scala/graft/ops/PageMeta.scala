@@ -224,6 +224,28 @@ object PageMeta {
       .toDF("doc_id", "alt_idx", "hreflang", "href")
   }
 
+  /** RECIPROCAL hreflang verification — the bidirectional-confirmation
+    * join parallel-corpus miners run before trusting a language pair: page
+    * A claiming "my French version is B" is only a pair if B claims "my
+    * English version is A" back (one-way hreflang is notoriously wrong on
+    * real sites). Input: an alternates table (url, hreflang, href); output:
+    * one row per VERIFIED unordered pair with each side's declared
+    * language. Shape: ONE self equi-join on the two (href ↔ url) keys —
+    * hash-partitioned, shuffle-bounded, never a cartesian; at 10^12 pages
+    * the alternates table is link-sparse and the join keys are urls.
+    */
+  def reciprocalAlternates(alts: DataFrame): DataFrame = {
+    val a = alts.select(col("url").as("url1"), col("hreflang").as("decl1"),
+      col("href").as("href1"))
+    val b = alts.select(col("url").as("url2"), col("hreflang").as("decl2"),
+      col("href").as("href2"))
+    a.join(b, col("href1") === col("url2") && col("href2") === col("url1") &&
+        col("url1") < col("url2"))
+      // decl1 is what page1 declares ABOUT page2 and vice versa
+      .select(col("url1"), col("url2"),
+        col("decl2").as("lang_of_1"), col("decl1").as("lang_of_2"))
+  }
+
   /** Structural TEMPLATE fingerprint of a page: FNV-1a/64 over the
     * element-tag outline (tag names + depth transitions, text/attrs
     * excluded) — two pages render the same fingerprint iff their element

@@ -83,6 +83,21 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "x-default", "https://e/")))
   }
 
+  test("reciprocalAlternates keeps only bidirectionally-confirmed pairs") {
+    import spark.implicits._
+    val alts = Seq(
+      ("https://e/en/1", "fr", "https://e/fr/1"),
+      ("https://e/fr/1", "en", "https://e/en/1"), // reciprocal: verified
+      ("https://e/en/2", "fr", "https://e/fr/2"), // one-way: dropped
+      ("https://e/fr/3", "de", "https://e/de/3")) // dangling: dropped
+      .toDF("url", "hreflang", "href")
+    val rows = PageMeta.reciprocalAlternates(alts).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getString(0) == "https://e/en/1" && r.getString(1) == "https://e/fr/1")
+    assert(r.getAs[String]("lang_of_1") == "en" && r.getAs[String]("lang_of_2") == "fr")
+  }
+
   test("template fingerprint: structure-only identity, nesting-sensitive") {
     def fp(html: String) =
       PageMeta.templateFpOf(graft.kernel.HtmlParser.parse(html))
