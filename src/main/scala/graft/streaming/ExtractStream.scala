@@ -17,6 +17,12 @@ final case class HostSession(
 /** Per-(band,bucket) member list for the streaming near-dup state store. */
 final case class BucketMembers(ids: Array[Long])
 
+/** Last-seen content fingerprint per url (streaming crawl-delta state). */
+final case class UrlFp(fp: String)
+
+/** A crawl-delta classification emitted the micro-batch a fetch arrives. */
+final case class DeltaEvent(url: String, status: String, fp: String)
+
 /** A near-dup candidate surfaced by the streaming LSH state. */
 final case class CandidatePair(id1: Long, id2: Long, band: Int, bucket: Long)
 
@@ -213,6 +219,47 @@ object ExtractStream {
             }
           }
           state.update(BucketMembers(members))
+          out.iterator
+      }
+  }
+
+  /** Streaming CRAWL DELTA — the streaming twin of ops.CrawlDelta (q65):
+    * state = last-seen content fingerprint per url; every arriving fetch
+    * classifies against it (`new` / `modified` / `unchanged`) the
+    * micro-batch it arrives, so recrawl routing (skip unchanged, re-extract
+    * modified) happens with per-batch latency instead of waiting for a
+    * snapshot boundary. `gone` has no streaming analogue — absence is not
+    * an event; the batch full-outer join covers it on snapshot boundaries.
+    * Within one micro-batch a url's rows process in fingerprint order
+    * (iterators carry no order guarantee), each against the updated state,
+    * so output is deterministic given the batch boundaries. State is one
+    * 32-byte fingerprint per url for the life of the query (history IS the
+    * signal, like the dedup states); the same null-body sentinel as the
+    * batch twin keeps body-less fetches classifiable.
+    */
+  def crawlDeltaStream(pages: DataFrame, keyCol: String = "url",
+      textCol: String = "text"): Dataset[DeltaEvent] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col(keyCol).cast("string"),
+        coalesce(md5(encode(col(textCol), "UTF-8")), lit("<null-body>")))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (url: String, rows: Iterator[(String, String)],
+         state: GroupState[UrlFp]) =>
+          var last = state.getOption.map(_.fp).orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[DeltaEvent]
+          rows.map(_._2).toArray.sorted.foreach { fp =>
+            val status =
+              if (last == null) "new"
+              else if (last == fp) "unchanged"
+              else "modified"
+            out += DeltaEvent(url, status, fp)
+            last = fp
+          }
+          state.update(UrlFp(last))
           out.iterator
       }
   }

@@ -247,6 +247,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally q.stop()
   }
 
+  test("streaming crawl delta classifies new/unchanged/modified against state; batch-twin agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, String)]
+    val q = ExtractStream.crawlDeltaStream(
+      input.toDF().toDF("url", "text"))
+      .writeStream.format("memory").queryName("delta_stream")
+      .outputMode("append").start()
+    try {
+      // snapshot 1: two urls
+      input.addData("u/a" -> "body A v1", "u/b" -> "body B v1")
+      q.processAllAvailable()
+      // snapshot 2: a unchanged, b modified, c new (b's 'gone' twin has no
+      // streaming analogue - absence is not an event)
+      input.addData("u/a" -> "body A v1", "u/b" -> "body B v2", "u/c" -> "body C v1")
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT url, status FROM delta_stream").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      assert(rows.count(_ == ("u/a", "new")) == 1)
+      assert(rows.count(_ == ("u/a", "unchanged")) == 1)
+      assert(rows.count(_ == ("u/b", "modified")) == 1)
+      assert(rows.count(_ == ("u/c", "new")) == 1)
+      // batch twin (q65 path): the second batch's statuses equal the batch
+      // full-outer delta between the two snapshots, minus 'gone'
+      val old = Seq(("u/a", "body A v1"), ("u/b", "body B v1")).toDF("url", "text")
+      val nw = Seq(("u/a", "body A v1"), ("u/b", "body B v2"),
+        ("u/c", "body C v1")).toDF("url", "text")
+      val batch = graft.ops.CrawlDelta.delta(old, nw, keyCol = "url")
+        .filter(org.apache.spark.sql.functions.col("status") =!= "gone")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val secondBatch = rows.toSet -- Set(("u/a", "new"), ("u/b", "new"))
+      assert(secondBatch == batch, s"stream=$secondBatch batch=$batch")
+    } finally q.stop()
+  }
+
   test("streaming near-dup state respects the hot-bucket cap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
