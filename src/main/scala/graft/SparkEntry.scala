@@ -962,6 +962,32 @@ object SparkEntry {
         .join(pages.select(col("pid").as("doc_id"), col("url")), "doc_id")
         .select("url", "hreflang", "href")
       graft.ops.PageMeta.reciprocalAlternates(withUrl)
+    }),
+
+    "q78_resolve_links" -> ((s, dir) => {
+      // frontier construction: kernel-extracted outlink hrefs — absolute,
+      // root-relative, relative, parent-relative, protocol-relative, and
+      // query-only, one class per doc_id%6 — RESOLVED against the page url
+      // (RFC 3986 §5) as pure Columns. The oracle builds every expected
+      // absolute from parts.
+      val host = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+        lit(".example"))
+      val baseUrl = concat(host, lit("/dir/sub/page.html"))
+      val href = when(col("doc_id") % 6 === 0,
+          concat(lit("https://other.example/abs/"), col("doc_id")))
+        .when(col("doc_id") % 6 === 1, concat(lit("/root/"), col("doc_id")))
+        .when(col("doc_id") % 6 === 2, concat(lit("sib"), col("doc_id"), lit(".html")))
+        .when(col("doc_id") % 6 === 3, concat(lit("../up/"), col("doc_id")))
+        .when(col("doc_id") % 6 === 4, concat(lit("//cdn.example/c/"), col("doc_id")))
+        .otherwise(concat(lit("?page="), col("doc_id")))
+      val page = concat(lit("<div><a href=\""), href, lit("\">x</a></div>"))
+      val edges = graft.ops.PageMeta.outlinks(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .toDF()
+      edges
+        .join(docs(s, dir).select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
+        .select(col("doc_id"), col("href"),
+          graft.ops.UrlOps.resolveUrl(col("base_url"), col("href")).as("resolved"))
     })
   )
 
@@ -1537,7 +1563,24 @@ object SparkEntry {
         ("SELECT concat('https://p.ex/en/', doc_id) AS url1, " +
           "concat('https://p.ex/fr/', doc_id) AS url2, " +
           "'en' AS lang_of_1, 'fr' AS lang_of_2 " +
-          "FROM documents WHERE doc_id % 7 <> 0")
+          "FROM documents WHERE doc_id % 7 <> 0"),
+      "q78_resolve_links" ->
+        ("SELECT doc_id, " +
+          "CASE cast(doc_id % 6 AS int) " +
+          "WHEN 0 THEN concat('https://other.example/abs/', doc_id) " +
+          "WHEN 1 THEN concat('/root/', doc_id) " +
+          "WHEN 2 THEN concat('sib', doc_id, '.html') " +
+          "WHEN 3 THEN concat('../up/', doc_id) " +
+          "WHEN 4 THEN concat('//cdn.example/c/', doc_id) " +
+          "ELSE concat('?page=', doc_id) END AS href, " +
+          "CASE cast(doc_id % 6 AS int) " +
+          "WHEN 0 THEN concat('https://other.example/abs/', doc_id) " +
+          "WHEN 1 THEN concat('https://h', doc_id % 20, '.example/root/', doc_id) " +
+          "WHEN 2 THEN concat('https://h', doc_id % 20, '.example/dir/sub/sib', doc_id, '.html') " +
+          "WHEN 3 THEN concat('https://h', doc_id % 20, '.example/dir/up/', doc_id) " +
+          "WHEN 4 THEN concat('https://cdn.example/c/', doc_id) " +
+          "ELSE concat('https://h', doc_id % 20, '.example/dir/sub/page.html?page=', doc_id) " +
+          "END AS resolved FROM documents")
     )
   }
 }

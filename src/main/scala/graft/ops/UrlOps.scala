@@ -92,6 +92,38 @@ object UrlOps {
         when(tr && size(st) > 0, lit("/")).otherwise(lit(""))))
   }
 
+  /** RFC 3986 §5 reference RESOLUTION — the frontier-construction step:
+    * outlink hrefs on real pages are mostly relative, and a crawl can only
+    * enqueue absolute urls. Pure Column (whole-stage codegen next to the
+    * edge extraction — no UDF between outlinks and the frontier):
+    *
+    *   - absolute refs (with scheme) pass through verbatim
+    *   - protocol-relative `//host/p` inherits the base scheme
+    *   - root-relative `/p`, query-only `?q`, empty/fragment-only, and
+    *     relative paths (merged onto the base directory) per the RFC
+    *     algorithm, with dot segments removed via [[removeDotSegments]]
+    *   - fragments are DROPPED on resolved output (never sent to servers;
+    *     a frontier key must not split on them)
+    */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val authority = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val scheme = urlScheme(base)
+    val basePath0 = urlPath(base)
+    val basePath = when(basePath0 === "", lit("/")).otherwise(basePath0)
+    val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val refPath = regexp_extract(ref, "^([^?#]*)", 1)
+    val refQuery = regexp_extract(ref, "^[^?#]*(\\?[^#]*)", 1)
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+      .when(ref === "" || ref.startsWith("#"),
+        concat(authority, basePath, urlQuery(base)))
+      .when(ref.startsWith("?"), concat(authority, basePath, refQuery))
+      .when(ref.startsWith("/"),
+        concat(authority, removeDotSegments(refPath), refQuery))
+      .otherwise(concat(authority,
+        removeDotSegments(concat(baseDir, refPath)), refQuery))
+  }
+
   def canonicalizeUrl(u: Column): Column = {
     val scheme = urlScheme(u)
     val host = urlHost(u)

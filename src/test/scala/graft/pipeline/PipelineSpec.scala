@@ -575,6 +575,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("url resolution follows RFC 3986 §5.4 (fragments dropped)") {
+    import spark.implicits._
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      ("g", "http://a/b/c/g"),
+      ("./g", "http://a/b/c/g"),
+      ("g/", "http://a/b/c/g/"),
+      ("/g", "http://a/g"),
+      ("//g", "http://g"),
+      ("?y", "http://a/b/c/d;p?y"),
+      ("g?y", "http://a/b/c/g?y"),
+      ("#s", "http://a/b/c/d;p?q"), // fragment-only → base, fragment dropped
+      ("", "http://a/b/c/d;p?q"),
+      ("..", "http://a/b/"),
+      ("../g", "http://a/b/g"),
+      ("../../g", "http://a/g"),
+      ("../../../g", "http://a/g"), // over-pop clamps at root
+      ("g#s/x", "http://a/b/c/g"), // fragment dropped on relative too
+      ("https://x.example/q", "https://x.example/q")) // absolute verbatim
+    val df = cases.map(_._1).zipWithIndex.map { case (r, i) => (i, base, r) }
+      .toDF("i", "base", "ref")
+      .withColumn("res", graft.ops.UrlOps.resolveUrl(
+        org.apache.spark.sql.functions.col("base"),
+        org.apache.spark.sql.functions.col("ref")))
+    val got = df.orderBy("i").collect().map(_.getString(3)).toSeq
+    got.zip(cases).foreach { case (g, (ref, want)) =>
+      assert(g == want, s"resolve($base, $ref)")
+    }
+  }
+
   test("decontamination flags docs sharing a benchmark passage, not clean docs") {
     import spark.implicits._
     val passage = "the exact benchmark question text appears verbatim in this document"
