@@ -988,6 +988,29 @@ object SparkEntry {
         .join(docs(s, dir).select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
         .select(col("doc_id"), col("href"),
           graft.ops.UrlOps.resolveUrl(col("base_url"), col("href")).as("resolved"))
+    }),
+
+    "q79_sitemap_incremental" -> ((s, dir) => {
+      // incremental recrawl from sitemap lastmod — the sitemap-side twin of
+      // the crawl-snapshot delta: only entries whose lastmod postdates the
+      // last fetch need re-fetching (ISO dates compare lexically). Kernel
+      // parses full <url> entries (loc + lastmod).
+      val xml = concat(lit("<urlset>"),
+        expr("concat_ws('', transform(sequence(0, 2), i -> " +
+          "concat('<url><loc>https://s.example/', cast(doc_id * 3 + i as string), " +
+          "'</loc><lastmod>2026-01-', lpad(cast((doc_id + i) % 28 + 1 as string), 2, '0'), " +
+          "'</lastmod></url>')))"),
+        lit("</urlset>"))
+      val pages = docs(s, dir).select(col("doc_id"), encode(xml, "UTF-8").as("xml"))
+      import s.implicits._
+      pages.as[(Long, Array[Byte])].mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          graft.sources.Sitemap.entries(
+            new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+            .iterator.map(e => (id, e.loc, e.lastmod))
+        }
+      }.toDF("doc_id", "loc", "lastmod")
+        .withColumn("needs_fetch", col("lastmod") > lit("2026-01-15"))
     })
   )
 
@@ -1580,7 +1603,12 @@ object SparkEntry {
           "WHEN 3 THEN concat('https://h', doc_id % 20, '.example/dir/up/', doc_id) " +
           "WHEN 4 THEN concat('https://cdn.example/c/', doc_id) " +
           "ELSE concat('https://h', doc_id % 20, '.example/dir/sub/page.html?page=', doc_id) " +
-          "END AS resolved FROM documents")
+          "END AS resolved FROM documents"),
+      "q79_sitemap_incremental" ->
+        ("SELECT doc_id, concat('https://s.example/', doc_id * 3 + i) AS loc, " +
+          "concat('2026-01-', lpad(cast((doc_id + i) % 28 + 1 AS varchar), 2, '0')) AS lastmod, " +
+          "concat('2026-01-', lpad(cast((doc_id + i) % 28 + 1 AS varchar), 2, '0')) > '2026-01-15' AS needs_fetch " +
+          "FROM documents, unnest(range(0, 3)) AS t(i)")
     )
   }
 }

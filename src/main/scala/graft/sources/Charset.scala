@@ -108,6 +108,30 @@ object Sitemap {
       .querySelectorAll(root, graft.kernel.Query.compileUnion("loc"))
       .map(_.text.trim).toSeq
   }
+
+  final case class SitemapEntry(loc: String, lastmod: String)
+
+  /** Full `<url>`/`<sitemap>` entries with their `<lastmod>` — the field
+    * incremental recrawl schedules on (a crawler re-fetches only entries
+    * whose lastmod postdates its last fetch; at steady state most of a
+    * sitemap is unchanged, so this is the sitemap-side twin of the
+    * crawl-snapshot delta). Entries without a `<loc>` are skipped; a
+    * missing `<lastmod>` yields "" (caller decides the re-fetch default).
+    */
+  def entries(xml: String): Seq[SitemapEntry] = {
+    import graft.kernel.{HtmlParser, Query}
+    val root = HtmlParser.parse(Xml.unwrapCdata(xml))
+    val selEntry = Query.compileUnion("url,sitemap")
+    val selLoc = Query.compileUnion("loc")
+    val selMod = Query.compileUnion("lastmod")
+    Query.querySelectorAll(root, selEntry).iterator.flatMap { u =>
+      Query.querySelector(u, selLoc).map(_.text.trim).filter(_.nonEmpty)
+        .map { loc =>
+          SitemapEntry(loc,
+            Query.querySelector(u, selMod).map(_.text.trim).getOrElse(""))
+        }
+    }.toSeq
+  }
 }
 
 /** RSS 2.0 / Atom feed ingestion — the OTHER frontier-seed source next to
