@@ -1011,6 +1011,25 @@ object SparkEntry {
         }
       }.toDF("doc_id", "loc", "lastmod")
         .withColumn("needs_fetch", col("lastmod") > lit("2026-01-15"))
+    }),
+
+    "q80_meta_refresh" -> ((s, dir) => {
+      // html-level redirects a crawler must honor next to HTTP 3xx:
+      // doc_id%4==0 declares a refresh redirect (alternating quote styles +
+      // http-equiv case), %4==1 a pure reload (no url), others none — the
+      // extractor must emit exactly the declaring pages, first valid
+      // declaration winning
+      val page = concat(lit("<html><head>"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("<meta http-equiv=\"refresh\" content=\""),
+            col("doc_id") % 10, lit(";url=https://r.example/moved/"),
+            col("doc_id"), lit("\">")))
+          .when(col("doc_id") % 4 === 1,
+            lit("<meta http-equiv=\"Refresh\" content=\"30\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>x</p></body></html>"))
+      graft.ops.PageMeta.metaRefresh(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
     })
   )
 
@@ -1608,7 +1627,13 @@ object SparkEntry {
         ("SELECT doc_id, concat('https://s.example/', doc_id * 3 + i) AS loc, " +
           "concat('2026-01-', lpad(cast((doc_id + i) % 28 + 1 AS varchar), 2, '0')) AS lastmod, " +
           "concat('2026-01-', lpad(cast((doc_id + i) % 28 + 1 AS varchar), 2, '0')) > '2026-01-15' AS needs_fetch " +
-          "FROM documents, unnest(range(0, 3)) AS t(i)")
+          "FROM documents, unnest(range(0, 3)) AS t(i)"),
+      "q80_meta_refresh" ->
+        ("SELECT doc_id, cast(doc_id % 10 AS bigint) AS delay_sec, " +
+          "concat('https://r.example/moved/', doc_id) AS target " +
+          "FROM documents WHERE doc_id % 4 = 0 " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(30 AS bigint), '' FROM documents WHERE doc_id % 4 = 1")
     )
   }
 }

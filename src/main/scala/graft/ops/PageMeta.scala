@@ -51,6 +51,8 @@ object PageMeta {
     private[ops] val a = Query.compileUnion("a")
     private[ops] val table = Query.compileUnion("table")
     private[ops] val alternate = Query.compileUnion("link[rel=\"alternate\"]")
+    private[ops] val refresh = Query.compileUnion(
+      "meta[http-equiv=\"refresh\"],meta[http-equiv=\"Refresh\"]")
   }
 
   /** Per-page head-metadata extraction (pure kernel function — the exact
@@ -222,6 +224,41 @@ object PageMeta {
         }
       }
       .toDF("doc_id", "alt_idx", "hreflang", "href")
+  }
+
+  /** META-REFRESH redirects — the html-level redirect mechanism crawlers
+    * must honor next to HTTP 3xx (soft-404 pages, moved content, interstitials
+    * all use it): `<meta http-equiv="refresh" content="N;url=TARGET">`.
+    * Emits (delay_sec, target) per page that declares one; a content value
+    * with no url part (pure reload) yields an empty target. Target is RAW —
+    * compose with [[graft.ops.UrlOps.resolveUrl]] for the frontier.
+    */
+  private val RefreshRe =
+    """(?i)^\s*(\d+)\s*(?:[;,]\s*url\s*=\s*['"]?([^'"]*)['"]?\s*)?$""".r
+
+  def metaRefreshOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): Option[(Long, Long, String)] =
+    Query.querySelectorAll(root, s.refresh).iterator
+      .flatMap(_.getAttribute("content"))
+      .flatMap {
+        case RefreshRe(delay, url) =>
+          Some((id, delay.toLong, if (url == null) "" else url.trim))
+        case _ => None
+      }
+      .take(1).toSeq.headOption // first valid declaration wins, like browsers
+
+  def metaRefresh(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sels = new PageSelectors
+        it.flatMap { case (id, html) =>
+          metaRefreshOf(id, parseBytes(html), sels)
+        }
+      }
+      .toDF("doc_id", "delay_sec", "target")
   }
 
   /** RECIPROCAL hreflang verification — the bidirectional-confirmation

@@ -83,6 +83,21 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "x-default", "https://e/")))
   }
 
+  test("metaRefresh: delay+url forms, quote styles, pure reload, first wins") {
+    def one(html: String) = PageMeta.metaRefresh(pagesOf(html)).collect()
+      .map(r => (r.getLong(1), r.getString(2))).headOption
+    assert(one("<meta http-equiv=\"refresh\" content=\"5;url=https://t/x\">")
+      .contains((5L, "https://t/x")))
+    assert(one("<meta http-equiv=\"Refresh\" content=\"0; URL='https://t/q'\">")
+      .contains((0L, "https://t/q")))
+    assert(one("<meta http-equiv=\"refresh\" content=\"30\">").contains((30L, "")))
+    assert(one("<meta http-equiv=\"refresh\" content=\"not a number\">").isEmpty)
+    assert(one("<p>no refresh</p>").isEmpty)
+    // first valid declaration wins (browser behavior)
+    assert(one("<meta http-equiv=\"refresh\" content=\"1;url=/a\">" +
+      "<meta http-equiv=\"refresh\" content=\"2;url=/b\">").contains((1L, "/a")))
+  }
+
   test("reciprocalAlternates keeps only bidirectionally-confirmed pairs") {
     import spark.implicits._
     val alts = Seq(
