@@ -1030,6 +1030,41 @@ object SparkEntry {
         lit("</head><body><p>x</p></body></html>"))
       graft.ops.PageMeta.metaRefresh(
         docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+    }),
+
+    "q81_frontier_e2e" -> ((s, dir) => {
+      // the CRAWL LOOP composed end to end: kernel outlink extraction →
+      // RFC 3986 resolution of relative hrefs → canonicalization of messy
+      // absolute ones → robots gate (Disallow: /q/3) → resume anti-join
+      // against the committed-url table → the distinct new frontier.
+      // Five round-3/4 ops in one plan; every stage changes the result,
+      // and the oracle recomputes all of them from doc_id arithmetic.
+      val d = docs(s, dir)
+      val host = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+        lit(".example"))
+      val baseUrl = concat(host, lit("/dir/page"), col("doc_id"), lit(".html"))
+      val relTarget = concat(lit("../p"), (col("doc_id") * 7) % 200, lit(".html"))
+      val absTarget = concat(lit("HTTP://H"), (col("doc_id") % 20).cast("string"),
+        lit(".Example/q/"), col("doc_id") % 5)
+      val page = concat(lit("<div><a href=\""), relTarget,
+        lit("\">r</a><a href=\""), absTarget, lit("\">a</a></div>"))
+      val edges = graft.ops.PageMeta.outlinks(
+        d.select(col("doc_id"), encode(page, "UTF-8").as("html"))).toDF()
+      val resolved = edges
+        .join(d.select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
+        .select(graft.ops.UrlOps.canonicalizeUrl(
+          graft.ops.UrlOps.resolveUrl(col("base_url"), col("href"))).as("url"))
+      val robotsTxt = "User-agent: *\nDisallow: /q/3"
+      val allowedUdf = udf { (p: String) =>
+        graft.sources.Robots.parse(robotsTxt).isAllowed("graftbot", p)
+      }
+      val gated = resolved
+        .filter(allowedUdf(graft.ops.UrlOps.urlPath(col("url"))))
+      val committed = d
+        .filter((col("doc_id") * 7) % 200 % 3 === 0)
+        .select(concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+          lit(".example/p"), (col("doc_id") * 7) % 200, lit(".html")).as("url"))
+      graft.pipeline.TableIO.resumeByUrl(gated, committed).distinct()
     })
   )
 
@@ -1633,7 +1668,18 @@ object SparkEntry {
           "concat('https://r.example/moved/', doc_id) AS target " +
           "FROM documents WHERE doc_id % 4 = 0 " +
           "UNION ALL " +
-          "SELECT doc_id, cast(30 AS bigint), '' FROM documents WHERE doc_id % 4 = 1")
+          "SELECT doc_id, cast(30 AS bigint), '' FROM documents WHERE doc_id % 4 = 1"),
+      "q81_frontier_e2e" ->
+        ("WITH t AS (" +
+          "SELECT concat('https://h', doc_id % 20, '.example/p', (doc_id * 7) % 200, '.html') AS url FROM documents " +
+          "UNION ALL " +
+          "SELECT concat('http://h', doc_id % 20, '.example/q/', doc_id % 5) FROM documents), " +
+          "allowed AS (SELECT url FROM t WHERE url NOT LIKE '%/q/3'), " +
+          "committed AS (SELECT DISTINCT concat('https://h', doc_id % 20, " +
+          "'.example/p', (doc_id * 7) % 200, '.html') AS url FROM documents " +
+          "WHERE ((doc_id * 7) % 200) % 3 = 0) " +
+          "SELECT DISTINCT a.url FROM allowed a " +
+          "LEFT JOIN committed c USING (url) WHERE c.url IS NULL")
     )
   }
 }
