@@ -83,6 +83,27 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "x-default", "https://e/")))
   }
 
+  test("per-page extractors stay O(doc) on pathological 50k-deep nesting") {
+    // same probe recipe that drove the round-3 kernel hardening: every
+    // round-4 extractor must ride the memoized/iterative traversals, not
+    // reintroduce an O(depth²) walk
+    val deep = "<div>" * 50000 +
+      "<a href=\"/x\">t</a><table><tr><td>c</td></tr></table>" +
+      "<link rel=\"alternate\" hreflang=\"fr\" href=\"/fr\">" +
+      "</div>" * 50000
+    val t0 = System.nanoTime()
+    val root = graft.kernel.HtmlParser.parse(deep)
+    val sels = new PageMeta.PageSelectors
+    assert(PageMeta.templateFpOf(root) != 0L)
+    PageMeta.headMetaOf(0L, root, sels)
+    assert(PageMeta.outlinksOf(0L, root, sels).nonEmpty)
+    assert(PageMeta.tableRowsOf(0L, root, sels).nonEmpty)
+    assert(PageMeta.alternatesOf(0L, root, sels).nonEmpty)
+    PageMeta.metaRefreshOf(0L, root, sels)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 20.0, s"deep extractors took $sec s — quadratic regression?")
+  }
+
   test("metaRefresh: delay+url forms, quote styles, pure reload, first wins") {
     def one(html: String) = PageMeta.metaRefresh(pagesOf(html)).collect()
       .map(r => (r.getLong(1), r.getString(2))).headOption
