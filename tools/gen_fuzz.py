@@ -24,7 +24,13 @@ TEXTS = ["hello world", "a  b   c", " leading", "trailing ", "x&amp;y",
          "a < b > c", "5 > 3", "emoji \U0001F600 text", "ümlaut König",
          "line\nbreak", "tab\there", "", " ", "&#0;&#128;", "&lt;tag&gt;",
          "très tôt déjà", "日本語テキスト", "&quot;quoted&quot;",
-         "&copyright; x", "&ampx &notit;", "&ltx; &gtq", "&nbspz"]
+         "&copyright; x", "&ampx &notit;", "&ltx; &gtq", "&nbspz",
+         # CDATA sections: NOT markup to either engine (kMarkupPattern only
+         # knows <!--), so they must tokenize as literal text — pins the
+         # kernel-level CDATA-as-text equality the round-4 feed layer
+         # builds on (tags INSIDE still tokenize; equality is the contract)
+         "<![CDATA[raw & text]]>", "<![CDATA[<b>markup</b>]]>",
+         "<![CDATA[unterminated", "a<![CDATA[x]]>b", "<![CDATA[]]>"]
 
 # Full-WHATWG entity injection (incl. HTML5-only, multi-codepoint, and
 # legacy-prefix-collision names) so the kernel and the independently-sourced
