@@ -1065,6 +1065,29 @@ object SparkEntry {
         .select(concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
           lit(".example/p"), (col("doc_id") * 7) % 200, lit(".html")).as("url"))
       graft.pipeline.TableIO.resumeByUrl(gated, committed).distinct()
+    }),
+
+    "q82_politeness" -> ((s, dir) => {
+      // per-host POLITENESS budget — the frontier-scheduling input: robots
+      // crawl-delay (agent-specific beats *, absent → 0) and sitemap count
+      // per host, times queued-page volume → estimated fetch seconds.
+      // Exact-representable delays so the double product hashes.
+      val robots = when(col("doc_id") % 3 === 0,
+        concat(lit("User-agent: *\nCrawl-delay: "),
+          (col("doc_id") % 10 + 1).cast("string"),
+          lit("\nSitemap: https://h.example/s1.xml\nSitemap: https://h.example/s2.xml")))
+        .when(col("doc_id") % 3 === 1,
+          lit("User-agent: graftbot\nCrawl-delay: 2.5\nUser-agent: *\nCrawl-delay: 9"))
+        .otherwise(lit("User-agent: *\nDisallow: /tmp/"))
+      val f = udf { (r: String) =>
+        val p = graft.sources.Robots.parse(r)
+        (p.delayFor("graftbot"), p.sitemaps.length)
+      }
+      docs(s, dir).select(col("doc_id"), f(robots).as("x"))
+        .select(col("doc_id"), col("x._1").as("crawl_delay"),
+          col("x._2").cast("long").as("n_sitemaps"))
+        .withColumn("est_fetch_sec",
+          col("crawl_delay") * (col("doc_id") % 50 + 1))
     })
   )
 
@@ -1679,7 +1702,15 @@ object SparkEntry {
           "'.example/p', (doc_id * 7) % 200, '.html') AS url FROM documents " +
           "WHERE ((doc_id * 7) % 200) % 3 = 0) " +
           "SELECT DISTINCT a.url FROM allowed a " +
-          "LEFT JOIN committed c USING (url) WHERE c.url IS NULL")
+          "LEFT JOIN committed c USING (url) WHERE c.url IS NULL"),
+      "q82_politeness" ->
+        ("SELECT doc_id, " +
+          "CASE WHEN doc_id % 3 = 0 THEN cast(doc_id % 10 + 1 AS double) " +
+          "WHEN doc_id % 3 = 1 THEN 2.5 ELSE 0.0 END AS crawl_delay, " +
+          "CASE WHEN doc_id % 3 = 0 THEN cast(2 AS bigint) ELSE cast(0 AS bigint) END AS n_sitemaps, " +
+          "(CASE WHEN doc_id % 3 = 0 THEN cast(doc_id % 10 + 1 AS double) " +
+          "WHEN doc_id % 3 = 1 THEN 2.5 ELSE 0.0 END) * (doc_id % 50 + 1) AS est_fetch_sec " +
+          "FROM documents")
     )
   }
 }

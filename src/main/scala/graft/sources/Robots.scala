@@ -37,6 +37,18 @@ object Robots {
       else groups.getOrElse("*", Seq.empty)
     }
 
+    /** Crawl-delay for `agent` (same longest-substring selection as
+      * [[rulesFor]]; `*` fallback; none → 0.0 = no politeness constraint).
+      * The per-host fetch-budget input: a frontier scheduler multiplies
+      * this by the host's queued-page count to plan crawl time.
+      */
+    def delayFor(agent: String): Double = {
+      val a = agent.toLowerCase
+      val named = crawlDelay.keys.filter(k => k != "*" && a.contains(k))
+      if (named.nonEmpty) crawlDelay(named.maxBy(_.length))
+      else crawlDelay.getOrElse("*", 0.0)
+    }
+
     def isAllowed(agent: String, path: String): Boolean = {
       val matching = rulesFor(agent).filter(r => patternMatches(r.pattern, path))
       if (matching.isEmpty) true

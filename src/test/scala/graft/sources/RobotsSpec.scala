@@ -61,4 +61,12 @@ class RobotsSpec extends AnyFunSuite {
     assert(p.isAllowed("mybot", "/anything"))
     assert(!p.isAllowed("otherbot-2", "/anything")) // substring matches otherbot
   }
+
+  test("delayFor: agent-specific beats *, absent means no constraint") {
+    val p = Robots.parse(
+      "User-agent: graftbot\nCrawl-delay: 2.5\n\nUser-agent: *\nCrawl-delay: 9")
+    assert(p.delayFor("GraftBot/1.0") == 2.5)
+    assert(p.delayFor("otherbot") == 9.0)
+    assert(Robots.parse("User-agent: *\nDisallow: /x").delayFor("graftbot") == 0.0)
+  }
 }
