@@ -1050,15 +1050,25 @@ object SparkEntry {
         lit("\">r</a><a href=\""), absTarget, lit("\">a</a></div>"))
       val edges = graft.ops.PageMeta.outlinks(
         d.select(col("doc_id"), encode(page, "UTF-8").as("html"))).toDF()
+      import s.implicits._
+      // typed boundary between resolve and canonicalize: the two Column
+      // pipelines each contain CodegenFallback HOF folds, and nesting them
+      // in one expression makes Catalyst DUPLICATE the inner resolve tree
+      // into every sub-extraction of the outer canonicalize (no CSE for
+      // fallback expressions — measured 15.9 s vs ~1 s at sf0.1). The
+      // boundary materializes each url once per row.
       val resolved = edges
         .join(d.select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
-        .select(graft.ops.UrlOps.canonicalizeUrl(
-          graft.ops.UrlOps.resolveUrl(col("base_url"), col("href"))).as("url"))
+        .select(graft.ops.UrlOps.resolveUrl(col("base_url"), col("href"))
+          .as("resolved"))
+        .as[String].mapPartitions(identity).toDF("resolved")
+      val canon = resolved
+        .select(graft.ops.UrlOps.canonicalizeUrl(col("resolved")).as("url"))
+        .as[String].mapPartitions(identity).toDF("url")
       val robotsTxt = "User-agent: *\nDisallow: /q/3"
-      val allowedUdf = udf { (p: String) =>
-        graft.sources.Robots.parse(robotsTxt).isAllowed("graftbot", p)
-      }
-      val gated = resolved
+      val policy = graft.sources.Robots.parse(robotsTxt) // parse ONCE
+      val allowedUdf = udf { (p: String) => policy.isAllowed("graftbot", p) }
+      val gated = canon
         .filter(allowedUdf(graft.ops.UrlOps.urlPath(col("url"))))
       val committed = d
         .filter((col("doc_id") * 7) % 200 % 3 === 0)
