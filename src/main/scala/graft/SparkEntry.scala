@@ -1098,7 +1098,18 @@ object SparkEntry {
           col("x._2").cast("long").as("n_sitemaps"))
         .withColumn("est_fetch_sec",
           col("crawl_delay") * (col("doc_id") % 50 + 1))
-    })
+    }),
+
+    "q83_train_shards" -> ((s, dir) =>
+      // the pipeline's LAST operator before tokenization: deterministic
+      // well-shuffled shard layout (sort key = md5(doc_id:salt) — no RNG
+      // state, so any re-run/retry/cluster size reproduces identical
+      // shards); one shuffle on the shard id, per-shard window for
+      // position. Oracle replays the identical md5 ordering.
+      graft.pipeline.TableIO.trainShards(
+        docs(s, dir).select("doc_id"), nShards = 8)
+        .select(col("doc_id"), col("shard"),
+          col("pos_in_shard").cast("long").as("pos_in_shard")))
   )
 
   def oracleSql: Map[String, String] = {
@@ -1720,7 +1731,15 @@ object SparkEntry {
           "CASE WHEN doc_id % 3 = 0 THEN cast(2 AS bigint) ELSE cast(0 AS bigint) END AS n_sitemaps, " +
           "(CASE WHEN doc_id % 3 = 0 THEN cast(doc_id % 10 + 1 AS double) " +
           "WHEN doc_id % 3 = 1 THEN 2.5 ELSE 0.0 END) * (doc_id % 50 + 1) AS est_fetch_sec " +
-          "FROM documents")
+          "FROM documents"),
+      "q83_train_shards" ->
+        ("WITH k AS (SELECT doc_id, md5(concat(doc_id, ':graft')) AS sk FROM documents), " +
+          "s AS (SELECT doc_id, sk, " +
+          "((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16 + " +
+          "(strpos('0123456789abcdef', substr(sk, 2, 1)) - 1)) % 8 AS shard FROM k) " +
+          "SELECT doc_id, shard, " +
+          "cast(row_number() OVER (PARTITION BY shard ORDER BY sk) - 1 AS bigint) AS pos_in_shard " +
+          "FROM s")
     )
   }
 }

@@ -184,6 +184,32 @@ object TableIO {
     else bucketed.filter(!col(BucketCol).isin(committed.toSeq: _*))
   }
 
+  /** Deterministic TRAINING-SHARD layout — the corpus pipeline's last
+    * operator before tokenization: training data must be WELL-SHUFFLED
+    * (curriculum artifacts otherwise leak document order into training),
+    * and at 10^12 docs the shuffle must be deterministic and resumable —
+    * no RNG state. Sort key = md5(doc_id:salt): any re-run, retry, or
+    * cluster size reproduces the identical shard contents and intra-shard
+    * order. Shard id comes from the key's first byte (hash-uniform), so
+    * shard sizes balance; position is a per-shard window over the key —
+    * one shuffle on the shard id, each shard sorted independently
+    * (nothing global), which scales to any shard count.
+    */
+  def trainShards(docs: DataFrame, nShards: Int,
+      salt: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col("doc_id").cast("string"), lit(":" + salt)))
+    docs
+      .withColumn("__shuffle_key", key)
+      .withColumn("shard",
+        pmod(conv(substring(col("__shuffle_key"), 1, 2), 16, 10).cast("long"),
+          lit(nShards)))
+      .withColumn("pos_in_shard",
+        row_number().over(
+          Window.partitionBy("shard").orderBy("__shuffle_key")) - 1)
+      .drop("__shuffle_key")
+  }
+
   /** Row-level resume: anti-join against already-committed urls. The
     * committed side is a skinny (url) projection; AQE broadcasts it when
     * small, else it runs as a shuffled anti-join.

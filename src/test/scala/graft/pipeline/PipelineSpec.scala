@@ -132,6 +132,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(TableIO.reconcileSnapshots(dir).isEmpty)
   }
 
+  test("trainShards: deterministic, dense per-shard positions, decorrelated from doc order") {
+    import spark.implicits._
+    val docs = (0L until 400L).map(Tuple1(_)).toDF("doc_id")
+    val a = TableIO.trainShards(docs, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    val b = TableIO.trainShards(docs, nShards = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq) // no RNG state: identical on every run
+    // positions are dense 0..n-1 within each shard
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0 until rows.length),
+        s"shard $shard positions not dense")
+    }
+    // every shard is populated, none hoards (hash-uniform first byte)
+    val sizes = a.groupBy(_._2).view.mapValues(_.length)
+    assert(sizes.size == 8)
+    assert(sizes.values.max < 400 / 2)
+    // the shuffle decorrelates document order: consecutive doc_ids do not
+    // sit at consecutive positions of one shard
+    val sameShardAdjacent = (0L until 399L).count { i =>
+      val ra = a(i.toInt); val rb = a(i.toInt + 1)
+      ra._2 == rb._2 && math.abs(ra._3 - rb._3) == 1
+    }
+    assert(sameShardAdjacent < 40, s"order leaked: $sameShardAdjacent adjacent pairs")
+  }
+
   test("bucket metrics table is checkpointed and idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
     TableIO.writeBucketMetrics(spark, dir,
