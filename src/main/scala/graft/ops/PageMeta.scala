@@ -51,8 +51,7 @@ object PageMeta {
     private[ops] val a = Query.compileUnion("a")
     private[ops] val table = Query.compileUnion("table")
     private[ops] val alternate = Query.compileUnion("link[rel=\"alternate\"]")
-    private[ops] val refresh = Query.compileUnion(
-      "meta[http-equiv=\"refresh\"],meta[http-equiv=\"Refresh\"]")
+    private[ops] val meta = Query.compileUnion("meta")
   }
 
   /** Per-page head-metadata extraction (pure kernel function — the exact
@@ -232,17 +231,26 @@ object PageMeta {
     * Emits (delay_sec, target) per page that declares one; a content value
     * with no url part (pure reload) yields an empty target. Target is RAW —
     * compose with [[graft.ops.UrlOps.resolveUrl]] for the frontier.
+    * Browser-faithful details: ALL `<meta>` elements scan in DOCUMENT
+    * order with a case-insensitive http-equiv check (a selector union of
+    * casings would return part-order, not document order), the first
+    * valid declaration wins, fractional delays truncate (WHATWG takes the
+    * leading digit run), `;`/`,`/space separate delay from url, and an
+    * over-Long digit run clamps instead of throwing — every malformed
+    * path in this codebase is lenient.
     */
   private val RefreshRe =
-    """(?i)^\s*(\d+)\s*(?:[;,]\s*url\s*=\s*['"]?([^'"]*)['"]?\s*)?$""".r
+    """(?i)^\s*(\d+)(?:\.\d*)?\s*(?:[;,\s]\s*url\s*=\s*['"]?([^'"]*)['"]?\s*)?$""".r
 
   def metaRefreshOf(id: Long, root: graft.kernel.Element,
       s: PageSelectors): Option[(Long, Long, String)] =
-    Query.querySelectorAll(root, s.refresh).iterator
+    Query.querySelectorAll(root, s.meta).iterator
+      .filter(_.getAttribute("http-equiv").exists(_.equalsIgnoreCase("refresh")))
       .flatMap(_.getAttribute("content"))
       .flatMap {
         case RefreshRe(delay, url) =>
-          Some((id, delay.toLong, if (url == null) "" else url.trim))
+          val d = if (delay.length <= 18) delay.toLong else Long.MaxValue
+          Some((id, d, if (url == null) "" else url.trim))
         case _ => None
       }
       .take(1).toSeq.headOption // first valid declaration wins, like browsers
@@ -278,9 +286,14 @@ object PageMeta {
       col("href").as("href2"))
     a.join(b, col("href1") === col("url2") && col("href2") === col("url1") &&
         col("url1") < col("url2"))
-      // decl1 is what page1 declares ABOUT page2 and vice versa
-      .select(col("url1"), col("url2"),
-        col("decl2").as("lang_of_1"), col("decl1").as("lang_of_2"))
+      // decl1 is what page1 declares ABOUT page2 and vice versa. A page
+      // declaring the SAME href under several hreflangs (en + en-US +
+      // x-default is a common real-site pattern) would otherwise fan the
+      // join out into one row per declaration pair — collapse to ONE row
+      // per unordered pair, keeping the lexicographically smallest
+      // declared language on each side (deterministic, hash-gateable).
+      .groupBy(col("url1"), col("url2"))
+      .agg(min(col("decl2")).as("lang_of_1"), min(col("decl1")).as("lang_of_2"))
   }
 
   /** Structural TEMPLATE fingerprint of a page: FNV-1a/64 over the

@@ -40,6 +40,12 @@ object PiiScrub {
     * (`2001:db8::1`, `fe80::a:b`). Hex groups only — the dotted tail of a
     * v4-mapped address is left to [[Ipv4Re]] (scrub order covers it).
     * `\b` anchors hold because both ends are hex word chars.
+    *
+    * DOCUMENTED LIMIT: forms that START or END with `::` (`::1`,
+    * `::ffff:0:1`, `2001:db8::`) are NOT matched — anchoring a match at a
+    * bare `:` needs lookbehind/lookahead, which the Java∩RE2 oracle
+    * subset lacks, and consuming the preceding character instead would
+    * corrupt the replacement. Spec-pinned so the gap is explicit.
     */
   val Ipv6Re = "\\b(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}" +
     "|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,4})\\b"

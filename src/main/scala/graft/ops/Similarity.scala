@@ -174,9 +174,13 @@ object Similarity {
     *   - re-rank: exact cosine inside the probed lists only
     *
     * Two-level assignment is exact iff the true centroid's group is among
-    * the `probe1` probed groups — on clustered data (group reps separate)
-    * it EQUALS flat assignment, pinned by spec; the q43-gated default stays
-    * flat so the oracle's flat rebuild matches bit-for-bit.
+    * the `probe1` probed groups AND no cross-group tie exists after
+    * 4-decimal rounding (flat breaks score ties toward the smallest cid;
+    * the two-level scan sees candidates in probed-group order, so an
+    * exact-tie across groups may break toward the group ranked first) —
+    * on clustered data with separated group reps both conditions hold and
+    * it EQUALS flat assignment, pinned by spec; the q43-gated default
+    * stays flat so the oracle's flat rebuild matches bit-for-bit.
     *
     * Ties everywhere break toward the smaller id after HALF_UP 4-decimal
     * rounding, mirrored by the oracle. Recall < 1 by construction (a true

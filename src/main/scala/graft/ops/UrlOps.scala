@@ -107,13 +107,14 @@ object UrlOps {
     * enqueue absolute urls. Pure Column (whole-stage codegen next to the
     * edge extraction — no UDF between outlinks and the frontier):
     *
-    *   - absolute refs (with scheme) pass through verbatim
-    *   - protocol-relative `//host/p` inherits the base scheme
+    *   - absolute refs (with scheme) pass through, minus fragment
+    *   - protocol-relative `//host/p` inherits the base scheme, minus
+    *     fragment
     *   - root-relative `/p`, query-only `?q`, empty/fragment-only, and
     *     relative paths (merged onto the base directory) per the RFC
     *     algorithm, with dot segments removed via [[removeDotSegments]]
-    *   - fragments are DROPPED on resolved output (never sent to servers;
-    *     a frontier key must not split on them)
+    *   - fragments are DROPPED on resolved output in EVERY branch (never
+    *     sent to servers; a frontier key must not split on them)
     */
   def resolveUrl(base: Column, ref: Column): Column = {
     val authority = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
@@ -121,10 +122,11 @@ object UrlOps {
     val basePath0 = urlPath(base)
     val basePath = when(basePath0 === "", lit("/")).otherwise(basePath0)
     val baseDir = regexp_replace(basePath, "[^/]*$", "")
+    val noFrag = regexp_extract(ref, "^([^#]*)", 1)
     val refPath = regexp_extract(ref, "^([^?#]*)", 1)
     val refQuery = regexp_extract(ref, "^[^?#]*(\\?[^#]*)", 1)
-    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), ref)
-      .when(ref.startsWith("//"), concat(scheme, lit(":"), ref))
+    when(ref.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), noFrag)
+      .when(ref.startsWith("//"), concat(scheme, lit(":"), noFrag))
       .when(ref === "" || ref.startsWith("#"),
         concat(authority, basePath, urlQuery(base)))
       .when(ref.startsWith("?"), concat(authority, basePath, refQuery))
@@ -145,9 +147,13 @@ object UrlOps {
       .otherwise(concat(lit(":"), port))
     // percent-decode BEFORE dot-segment removal: %2E decodes to an
     // unreserved '.', which then participates in dot handling (the RFC's
-    // ordering); %2F stays encoded so no fake path separators appear
-    val path = removeDotSegments(decodeUnreserved(urlPath(u)))
-    val pathPart = when(path === "", lit("/")).otherwise(path)
+    // ordering); %2F stays encoded so no fake path separators appear.
+    // Emptiness is tested on the CHEAP raw path, not on the HOF-bearing
+    // normalized path — per the COMPOSITION NOTE above, referencing the
+    // fold twice would evaluate it twice per row (both folds map "" → "")
+    val rawPath = urlPath(u)
+    val path = removeDotSegments(decodeUnreserved(rawPath))
+    val pathPart = when(rawPath === "", lit("/")).otherwise(path)
     concat(scheme, lit("://"), host, portPart, pathPart,
       decodeUnreserved(urlQuery(u)))
   }

@@ -37,8 +37,12 @@ object Robots {
       else groups.getOrElse("*", Seq.empty)
     }
 
-    /** Crawl-delay for `agent` (same longest-substring selection as
-      * [[rulesFor]]; `*` fallback; none → 0.0 = no politeness constraint).
+    /** Crawl-delay for `agent` — GROUP-consistent with [[rulesFor]]: when
+      * a NAMED group governs this agent (even one declaring no delay), the
+      * `*` group's delay does NOT apply — a site that addressed the agent
+      * specifically and imposed no delay must not be throttled by the
+      * generic one. Only agents governed by `*` (or by nothing) inherit
+      * the `*` delay; absent everywhere → 0.0 = no politeness constraint.
       * The per-host fetch-budget input: a frontier scheduler multiplies
       * this by the host's queued-page count to plan crawl time.
       */
@@ -46,6 +50,7 @@ object Robots {
       val a = agent.toLowerCase
       val named = crawlDelay.keys.filter(k => k != "*" && a.contains(k))
       if (named.nonEmpty) crawlDelay(named.maxBy(_.length))
+      else if (groups.keys.exists(k => k != "*" && a.contains(k))) 0.0
       else crawlDelay.getOrElse("*", 0.0)
     }
 

@@ -117,6 +117,18 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // first valid declaration wins (browser behavior)
     assert(one("<meta http-equiv=\"refresh\" content=\"1;url=/a\">" +
       "<meta http-equiv=\"refresh\" content=\"2;url=/b\">").contains((1L, "/a")))
+    // DOCUMENT order wins across http-equiv casings (a selector union
+    // would return part-order: all 'refresh' before any 'Refresh')
+    assert(one("<meta http-equiv=\"Refresh\" content=\"1;url=/a\">" +
+      "<meta http-equiv=\"refresh\" content=\"2;url=/b\">").contains((1L, "/a")))
+    // WHATWG-style leniency: fractional delay truncates; space separator
+    assert(one("<meta http-equiv=\"refresh\" content=\"0.5; url=https://t/f\">")
+      .contains((0L, "https://t/f")))
+    assert(one("<meta http-equiv=\"refresh\" content=\"5 url=/s\">")
+      .contains((5L, "/s")))
+    // an over-Long digit run clamps instead of crashing the task
+    assert(one("<meta http-equiv=\"refresh\" content=\"99999999999999999999\">")
+      .contains((Long.MaxValue, "")))
   }
 
   test("reciprocalAlternates keeps only bidirectionally-confirmed pairs") {
@@ -132,6 +144,23 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     val r = rows.head
     assert(r.getString(0) == "https://e/en/1" && r.getString(1) == "https://e/fr/1")
     assert(r.getAs[String]("lang_of_1") == "en" && r.getAs[String]("lang_of_2") == "fr")
+  }
+
+  test("reciprocalAlternates collapses multi-declaration pairs to one row") {
+    import spark.implicits._
+    // a page declaring the same href under several hreflangs (en + en-US +
+    // x-default is common) must still yield ONE row per unordered pair,
+    // with the lexicographically smallest declared language per side
+    val alts = Seq(
+      ("https://e/a", "fr", "https://e/b"),
+      ("https://e/a", "x-default", "https://e/b"),
+      ("https://e/b", "en-US", "https://e/a"),
+      ("https://e/b", "en", "https://e/a"))
+      .toDF("url", "hreflang", "href")
+    val rows = PageMeta.reciprocalAlternates(alts).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("lang_of_1") == "en") // min(en, en-US)
+    assert(rows.head.getAs[String]("lang_of_2") == "fr") // min(fr, x-default)
   }
 
   test("template fingerprint: structure-only identity, nesting-sensitive") {

@@ -127,6 +127,16 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "meeting at 12:30 costs 50%-off nothing to scrub")
   }
 
+  test("PiiScrub documented limit: leading/trailing-:: IPv6 forms are not matched") {
+    // anchoring at a bare ':' needs lookaround, which the Java∩RE2 oracle
+    // subset lacks — the gap is deliberate and pinned (see Ipv6Re scaladoc)
+    val out = PiiScrub.scrub(docsOf(
+      1L -> "loopback ::1 and prefix 2001:db8:: stay"))
+      .collect().head
+    assert(out.getAs[Long]("n_ipv6") == 0L)
+    assert(out.getAs[String]("scrubbed") == "loopback ::1 and prefix 2001:db8:: stay")
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val out = TextAnalysis.nfcNormalize(docsOf(
       1L -> "café and Ångström", // decomposed

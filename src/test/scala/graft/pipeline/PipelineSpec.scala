@@ -619,7 +619,11 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("../../g", "http://a/g"),
       ("../../../g", "http://a/g"), // over-pop clamps at root
       ("g#s/x", "http://a/b/c/g"), // fragment dropped on relative too
-      ("https://x.example/q", "https://x.example/q")) // absolute verbatim
+      ("https://x.example/q", "https://x.example/q"), // absolute passthrough
+      // fragment dropped on the absolute and protocol-relative branches
+      // too — a frontier key must never split on fragments
+      ("https://x.example/q#frag", "https://x.example/q"),
+      ("//g/p#s", "http://g/p"))
     val df = cases.map(_._1).zipWithIndex.map { case (r, i) => (i, base, r) }
       .toDF("i", "base", "ref")
       .withColumn("res", graft.ops.UrlOps.resolveUrl(

@@ -68,5 +68,12 @@ class RobotsSpec extends AnyFunSuite {
     assert(p.delayFor("GraftBot/1.0") == 2.5)
     assert(p.delayFor("otherbot") == 9.0)
     assert(Robots.parse("User-agent: *\nDisallow: /x").delayFor("graftbot") == 0.0)
+    // GROUP-consistent with rulesFor: a named group that declares NO delay
+    // shields its agent from the * group's delay (the site addressed the
+    // agent specifically and imposed none)
+    val q = Robots.parse(
+      "User-agent: graftbot\nAllow: /\n\nUser-agent: *\nCrawl-delay: 10")
+    assert(q.delayFor("graftbot") == 0.0)
+    assert(q.delayFor("otherbot") == 10.0)
   }
 }
