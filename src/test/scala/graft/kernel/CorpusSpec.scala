@@ -146,6 +146,33 @@ class CorpusSpec extends AnyFunSuite {
       nLinks = 0, linksMd5 = "d41d8cd98f00b204e9800998ecf8427e",
       nTableRows = 6, tablesMd5 = "0d784c649416db4d1f38f51957207611"))
 
+  // round-4 extractors on the same real pages: template fingerprint
+  // stability, hreflang alternates (the ssense page carries a REAL
+  // fr-alternate — found, not synthesized), and meta-refresh (none of the
+  // corpus pages declares one: pins no false positives on real HTML)
+  private val extractorGoldens: Map[String, (Long, Seq[String])] = Map(
+    "ffmpeg.html" -> ((480762960566843958L, Seq.empty)),
+    "gmail.html" -> ((5172645300645984692L, Seq.empty)),
+    "google.html" -> ((-9080569856485665212L, Seq.empty)),
+    "hillcrestpartyrentals.html" -> ((-7996002035933037480L, Seq.empty)),
+    "incomplete-script" -> ((8896398745731211110L,
+      Seq("fr=http://www.ssense.com/fr/women/designers/all/backpacks"))),
+    "nice.html" -> ((-4666535434114061994L, Seq.empty)))
+
+  test("real-page goldens: template fingerprint, hreflang alternates, no meta-refresh") {
+    val sels = new graft.ops.PageMeta.PageSelectors
+    extractorGoldens.foreach { case (name, (fp, alts)) =>
+      whenPresent(name) { html =>
+        val root = HtmlParser.parse(html)
+        assert(graft.ops.PageMeta.templateFpOf(root) == fp, s"$name template fp")
+        assert(graft.ops.PageMeta.alternatesOf(0L, root, sels)
+          .map(a => a._3 + "=" + a._4) == alts, s"$name alternates")
+        assert(graft.ops.PageMeta.metaRefreshOf(0L, root, sels).isEmpty,
+          s"$name meta refresh false positive")
+      }
+    }
+  }
+
   test("real-page heuristics match goldens: boilerplate / headMeta / outlinks / tables") {
     val sels = new graft.ops.PageMeta.PageSelectors
     heuristicGoldens.foreach { case (name, g) =>
