@@ -1100,6 +1100,57 @@ object SparkEntry {
           col("crawl_delay") * (col("doc_id") % 50 + 1))
     }),
 
+    "q85_quality_composite" -> ((s, dir) => {
+      // the FULL multi-signal quality filter in one pass (the Gopher-style
+      // stack real pipelines run): length/punctuation stats + repetition
+      // gates + compression ratio + language-ID agreement → one keep
+      // decision per doc, sub-signals exposed for the audit table. Four
+      // ops composed; every signal is independently oracle-gated
+      // elsewhere (q30/q56/q70/q27) and the CONJUNCTION is gated here.
+      val d = docs(s, dir)
+      val q = graft.ops.TextAnalysis.qualityScore(d)
+        .select(col("doc_id"), col("q_chars"), col("q_tokens"),
+          col("q_punct_ratio"))
+      val rep = graft.ops.TextAnalysis.repetitionSignals(d)
+        .select(col("doc_id"), col("rep_pass"))
+      val comp = graft.ops.TextAnalysis.compressionRatio(d)
+        .select(col("doc_id"), col("compression_ratio"))
+      val lang = graft.ops.TextAnalysis.langId(d)
+        .select(col("doc_id"), col("lang"), col("lang_guess"))
+      q.join(rep, "doc_id").join(comp, "doc_id").join(lang, "doc_id")
+        .withColumn("keep",
+          col("q_chars") >= 60 && col("q_tokens") >= 12 &&
+            col("q_punct_ratio") <= 0.3 && col("rep_pass") &&
+            col("compression_ratio") >= 0.3 &&
+            col("lang_guess") === col("lang"))
+        .select("doc_id", "rep_pass", "compression_ratio", "keep")
+    }),
+
+    "q84_host_graph" -> ((s, dir) => {
+      // domain-granularity link graph: per source host, out-edges,
+      // EXTERNAL edges (cross-host — the ratio that separates content
+      // sites from link farms), distinct destination hosts. The second
+      // anchor's host collides with the source host exactly when
+      // doc_id%5==0, so the internal/external comparison is exercised
+      // both ways; every 3rd doc adds a cdn edge.
+      val d = docs(s, dir)
+      val srcUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+        lit(".example/page"), col("doc_id"))
+      val page = concat(
+        lit("<div><a href=\"https://h"), (col("doc_id") % 10).cast("string"),
+        lit(".example/in/"), col("doc_id"), lit("\">i</a>"),
+        lit("<a href=\"https://h"), ((col("doc_id") * 3) % 10).cast("string"),
+        lit(".example/x/"), col("doc_id") % 7, lit("\">x</a>"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("<a href=\"https://cdn.example/c/"), col("doc_id") % 5,
+            lit("\">c</a>"))).otherwise(lit("")),
+        lit("</div>"))
+      val edges = graft.ops.PageMeta.outlinks(
+        d.select(col("doc_id"), encode(page, "UTF-8").as("html"))).toDF()
+      graft.ops.PageMeta.hostGraph(
+        edges.join(d.select(col("doc_id"), srcUrl.as("src_url")), "doc_id"))
+    }),
+
     "q83_train_shards" -> ((s, dir) =>
       // the pipeline's LAST operator before tokenization: deterministic
       // well-shuffled shard layout (sort key = md5(doc_id:salt) — no RNG
@@ -1732,6 +1783,54 @@ object SparkEntry {
           "(CASE WHEN doc_id % 3 = 0 THEN cast(doc_id % 10 + 1 AS double) " +
           "WHEN doc_id % 3 = 1 THEN 2.5 ELSE 0.0 END) * (doc_id % 50 + 1) AS est_fetch_sec " +
           "FROM documents"),
+      "q85_quality_composite" ->
+        ("WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, " +
+          "len(string_split_regex(text, '\\s+')) AS n_tokens, " +
+          "CASE WHEN length(text) > 0 THEN (length(text) - " +
+          "length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')))::double / length(text) " +
+          "ELSE 0.0 END AS punct FROM documents), " +
+          "tok AS (SELECT doc_id, length(text) AS n_chars, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents), " +
+          "g AS (SELECT doc_id, 2 AS n, concat(toks[i], ' ', toks[i+1]) AS gram " +
+          "FROM tok, unnest(range(1, len(toks))) AS r(i) " +
+          "UNION ALL " +
+          "SELECT doc_id, 3, concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]) " +
+          "FROM tok, unnest(range(1, len(toks) - 1)) AS r(i)), " +
+          "c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM g GROUP BY 1, 2, 3), " +
+          "a AS (SELECT doc_id, " +
+          "max(CASE WHEN n = 2 THEN cnt * length(gram) END) AS top2, " +
+          "sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * length(gram) END) AS dup3 " +
+          "FROM c GROUP BY doc_id), " +
+          "r AS (SELECT tok.doc_id, " +
+          "coalesce(a.top2, 0)::double / tok.n_chars AS top2f, " +
+          "coalesce(a.dup3, 0)::double / tok.n_chars AS dup3f " +
+          "FROM tok LEFT JOIN a USING (doc_id)), " +
+          "z AS (SELECT d.doc_id, CASE WHEN f.raw_len = 0 THEN 1.0 " +
+          "ELSE f.compressed_len::double / f.raw_len END AS cr FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/zlib_expected.parquet' f " +
+          "ON md5(d.text) = f.text_md5), " +
+          "l AS (SELECT d.doc_id, lg.lang_guess FROM documents d " +
+          "JOIN '/root/repo/tools/fixtures/langid_expected.parquet' lg " +
+          "ON md5(d.text) = lg.text_md5) " +
+          "SELECT t.doc_id, " +
+          "(r.top2f <= 0.20 AND r.dup3f <= 0.18) AS rep_pass, " +
+          "z.cr AS compression_ratio, " +
+          "(t.n_chars >= 60 AND t.n_tokens >= 12 AND t.punct <= 0.3 " +
+          "AND r.top2f <= 0.20 AND r.dup3f <= 0.18 AND z.cr >= 0.3 " +
+          "AND l.lang_guess = t.lang) AS keep " +
+          "FROM t JOIN r ON t.doc_id = r.doc_id " +
+          "JOIN z ON t.doc_id = z.doc_id JOIN l ON t.doc_id = l.doc_id"),
+      "q84_host_graph" ->
+        ("WITH e AS (" +
+          "SELECT concat('h', doc_id % 10, '.example') AS src_host, " +
+          "concat('h', doc_id % 10, '.example') AS dst_host FROM documents " +
+          "UNION ALL SELECT concat('h', doc_id % 10, '.example'), " +
+          "concat('h', (doc_id * 3) % 10, '.example') FROM documents " +
+          "UNION ALL SELECT concat('h', doc_id % 10, '.example'), " +
+          "'cdn.example' FROM documents WHERE doc_id % 3 = 0) " +
+          "SELECT src_host, count(*) AS n_edges, " +
+          "cast(sum(CASE WHEN dst_host <> src_host THEN 1 ELSE 0 END) AS bigint) AS n_external, " +
+          "count(DISTINCT dst_host) AS n_dst_hosts FROM e GROUP BY src_host"),
       "q83_train_shards" ->
         ("WITH k AS (SELECT doc_id, md5(concat(doc_id, ':graft')) AS sk FROM documents), " +
           "s AS (SELECT doc_id, sk, " +

@@ -379,6 +379,29 @@ object PageMeta {
         col("top.anchor").as("top_anchor"),
         (-col("top.neg")).cast("long").as("top_anchor_count"))
 
+  /** HOST-level link graph rollup — the domain-granularity view every
+    * crawl ranks and curates with (page-level graphs are too big to eyeball
+    * and too sparse to trust; host aggregates are the SEO/reputation
+    * unit): per source host, total out-edges, external edges (cross-host —
+    * the external-link ratio separates content sites from link farms and
+    * walled gardens), and distinct destination hosts. One hash agg over
+    * the edge table, map-side combined; host extraction is a pure Column
+    * regex riding the projection.
+    */
+  def hostGraph(edges: DataFrame, srcUrlCol: String = "src_url",
+      hrefCol: String = "href"): DataFrame = {
+    def hostOf(c: org.apache.spark.sql.Column) =
+      lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    edges
+      .select(hostOf(col(srcUrlCol)).as("src_host"),
+        hostOf(col(hrefCol)).as("dst_host"))
+      .groupBy("src_host")
+      .agg(count(lit(1)).as("n_edges"),
+        sum(when(col("dst_host") =!= col("src_host"), 1L).otherwise(0L))
+          .as("n_external"),
+        countDistinct(col("dst_host")).as("n_dst_hosts"))
+  }
+
   /** Degree metrics over an edge table: out-degree per source doc plus the
     * in-degree of every distinct target. Two hash aggregations — the
     * partial/final split makes both map-side-combining at any scale.

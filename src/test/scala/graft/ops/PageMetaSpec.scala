@@ -190,6 +190,21 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(12L) == ((1L, 12L)))
   }
 
+  test("hostGraph: external edges and distinct destinations per source host") {
+    import spark.implicits._
+    val edges = Seq(
+      ("https://a.ex/p1", "https://a.ex/q"), // internal
+      ("https://a.ex/p2", "https://b.ex/r"), // external
+      ("https://a.ex/p3", "https://b.ex/s"), // external, same dst host
+      ("https://A.EX/p4", "https://cdn.ex/t"), // host casing normalized
+      ("https://b.ex/p5", "https://b.ex/u")) // internal
+      .toDF("src_url", "href")
+    val rows = PageMeta.hostGraph(edges).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(rows("a.ex") == ((4L, 3L, 3L))) // 4 edges, 3 external, dsts {a,b,cdn}
+    assert(rows("b.ex") == ((1L, 0L, 1L)))
+  }
+
   test("degrees: out/in aggregations reconcile with the edge list") {
     import spark.implicits._
     val edges = Seq(
