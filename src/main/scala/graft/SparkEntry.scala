@@ -1100,6 +1100,24 @@ object SparkEntry {
           col("crawl_delay") * (col("doc_id") % 50 + 1))
     }),
 
+    "q86_outline" -> ((s, dir) => {
+      // document OUTLINE in strict document order (h1 then alternating
+      // h2/h3 sections): the sectioning signal for long-document chunking.
+      // Position arithmetic in the oracle reproduces the interleaving, so
+      // any part-order (non-document-order) traversal breaks the hash.
+      val sections = expr(
+        "concat_ws('', transform(sequence(1, cast(doc_id % 3 + 1 as int)), j -> " +
+          "concat('<section><h2>S ', cast(doc_id as string), ' ', cast(j as string), '</h2>', " +
+          "case when j % 2 = 0 then concat('<h3>U ', cast(doc_id as string), ' ', cast(j as string), '</h3>') else '' end, " +
+          "'<p>body</p></section>')))")
+      val page = concat(lit("<body><h1>T "), col("doc_id"), lit("</h1>"),
+        sections, lit("</body>"))
+      graft.ops.PageMeta.outline(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"),
+          col("level"), col("heading"))
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -1783,6 +1801,18 @@ object SparkEntry {
           "(CASE WHEN doc_id % 3 = 0 THEN cast(doc_id % 10 + 1 AS double) " +
           "WHEN doc_id % 3 = 1 THEN 2.5 ELSE 0.0 END) * (doc_id % 50 + 1) AS est_fetch_sec " +
           "FROM documents"),
+      "q86_outline" ->
+        ("SELECT doc_id, cast(0 AS bigint) AS pos, 1 AS level, " +
+          "concat('T ', doc_id) AS heading FROM documents " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(1 + (j - 1) + (j - 1) // 2 AS bigint), 2, " +
+          "concat('S ', doc_id, ' ', j) " +
+          "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j) " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(2 + (j - 1) + (j - 1) // 2 AS bigint), 3, " +
+          "concat('U ', doc_id, ' ', j) " +
+          "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j) " +
+          "WHERE j % 2 = 0"),
       "q85_quality_composite" ->
         ("WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, " +
           "len(string_split_regex(text, '\\s+')) AS n_tokens, " +

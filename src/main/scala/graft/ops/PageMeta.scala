@@ -379,6 +379,49 @@ object PageMeta {
         col("top.anchor").as("top_anchor"),
         (-col("top.neg")).cast("long").as("top_anchor_count"))
 
+  /** Document OUTLINE extraction — the h1–h6 heading hierarchy in strict
+    * DOCUMENT order (a selector union would return part-order): the
+    * sectioning signal long-document training pipelines use to split
+    * pages into coherent chunks, build tables of contents, and weight
+    * heading text. One iterative DFS per page, rows
+    * (doc_id, pos, level, heading-text).
+    */
+  def outlineOf(id: Long, root: graft.kernel.Element): Seq[(Long, Int, Int, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Int, String)]
+    val stack = new scala.collection.mutable.ArrayBuffer[graft.kernel.Element](32)
+    stack += root
+    var pos = 0
+    while (stack.nonEmpty) {
+      val e = stack.remove(stack.length - 1)
+      val t = e.tagName
+      if (t.length == 2 && (t.charAt(0) == 'h' || t.charAt(0) == 'H') &&
+          t.charAt(1) >= '1' && t.charAt(1) <= '6') {
+        out += ((id, pos, t.charAt(1) - '0', e.text))
+        pos += 1
+      }
+      var j = e.childNodes.length - 1
+      while (j >= 0) {
+        e.childNodes(j) match {
+          case c: graft.kernel.Element => stack += c
+          case _ =>
+        }
+        j -= 1
+      }
+    }
+    out.toSeq
+  }
+
+  def outline(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, html) => outlineOf(id, parseBytes(html)) }
+      }
+      .toDF("doc_id", "pos", "level", "heading")
+  }
+
   /** HOST-level link graph rollup — the domain-granularity view every
     * crawl ranks and curates with (page-level graphs are too big to eyeball
     * and too sparse to trust; host aggregates are the SEO/reputation

@@ -190,6 +190,22 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(12L) == ((1L, 12L)))
   }
 
+  test("outline: headings in strict document order with levels and decoded text") {
+    val root = graft.kernel.HtmlParser.parse(
+      "<body><h1>Top &amp; main</h1><div><h2>A</h2><p>x</p></div>" +
+        "<h3>A.1</h3><section><h2>B</h2></section><h6>deep</h6></body>")
+    val rows = PageMeta.outlineOf(7L, root)
+    assert(rows == Seq(
+      (7L, 0, 1, "Top & main"),
+      (7L, 1, 2, "A"),
+      (7L, 2, 3, "A.1"),
+      (7L, 3, 2, "B"),
+      (7L, 4, 6, "deep")))
+    // no headings → no rows
+    assert(PageMeta.outlineOf(1L,
+      graft.kernel.HtmlParser.parse("<p>plain</p>")).isEmpty)
+  }
+
   test("hostGraph: external edges and distinct destinations per source host") {
     import spark.implicits._
     val edges = Seq(
