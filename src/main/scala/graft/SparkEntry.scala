@@ -1832,8 +1832,8 @@ object SparkEntry {
           "sum(CASE WHEN n = 3 AND cnt >= 2 THEN cnt * length(gram) END) AS dup3 " +
           "FROM c GROUP BY doc_id), " +
           "r AS (SELECT tok.doc_id, " +
-          "coalesce(a.top2, 0)::double / tok.n_chars AS top2f, " +
-          "coalesce(a.dup3, 0)::double / tok.n_chars AS dup3f " +
+          "CASE WHEN tok.n_chars > 0 THEN coalesce(a.top2, 0)::double / tok.n_chars ELSE 0.0 END AS top2f, " +
+          "CASE WHEN tok.n_chars > 0 THEN coalesce(a.dup3, 0)::double / tok.n_chars ELSE 0.0 END AS dup3f " +
           "FROM tok LEFT JOIN a USING (doc_id)), " +
           "z AS (SELECT d.doc_id, CASE WHEN f.raw_len = 0 THEN 1.0 " +
           "ELSE f.compressed_len::double / f.raw_len END AS cr FROM documents d " +

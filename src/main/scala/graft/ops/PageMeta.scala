@@ -398,14 +398,19 @@ object PageMeta {
           t.charAt(1) >= '1' && t.charAt(1) <= '6') {
         out += ((id, pos, t.charAt(1) - '0', e.text))
         pos += 1
-      }
-      var j = e.childNodes.length - 1
-      while (j >= 0) {
-        e.childNodes(j) match {
-          case c: graft.kernel.Element => stack += c
-          case _ =>
+        // do NOT traverse into the heading: its subtree text is already in
+        // this row, so a (malformed-HTML) heading nested inside it would
+        // otherwise appear twice — inside the ancestor's text AND as its
+        // own row
+      } else {
+        var j = e.childNodes.length - 1
+        while (j >= 0) {
+          e.childNodes(j) match {
+            case c: graft.kernel.Element => stack += c
+            case _ =>
+          }
+          j -= 1
         }
-        j -= 1
       }
     }
     out.toSeq
@@ -428,16 +433,19 @@ object PageMeta {
     * unit): per source host, total out-edges, external edges (cross-host —
     * the external-link ratio separates content sites from link farms and
     * walled gardens), and distinct destination hosts. One hash agg over
-    * the edge table, map-side combined; host extraction is a pure Column
-    * regex riding the projection.
+    * the edge table, map-side combined; host extraction reuses
+    * [[graft.ops.UrlOps.urlHost]] (one host-parsing semantic across the
+    * codebase) riding the projection. CONTRACT: feed RESOLVED edges
+    * ([[graft.ops.UrlOps.resolveUrl]] makes hrefs absolute first) —
+    * hostless rows (relative/mailto/junk hrefs) are DROPPED rather than
+    * aggregated as phantom ''-host destinations.
     */
   def hostGraph(edges: DataFrame, srcUrlCol: String = "src_url",
       hrefCol: String = "href"): DataFrame = {
-    def hostOf(c: org.apache.spark.sql.Column) =
-      lower(regexp_extract(c, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
     edges
-      .select(hostOf(col(srcUrlCol)).as("src_host"),
-        hostOf(col(hrefCol)).as("dst_host"))
+      .select(graft.ops.UrlOps.urlHost(col(srcUrlCol)).as("src_host"),
+        graft.ops.UrlOps.urlHost(col(hrefCol)).as("dst_host"))
+      .filter(col("src_host") =!= "" && col("dst_host") =!= "")
       .groupBy("src_host")
       .agg(count(lit(1)).as("n_edges"),
         sum(when(col("dst_host") =!= col("src_host"), 1L).otherwise(0L))

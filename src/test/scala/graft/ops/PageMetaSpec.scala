@@ -204,6 +204,12 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     // no headings → no rows
     assert(PageMeta.outlineOf(1L,
       graft.kernel.HtmlParser.parse("<p>plain</p>")).isEmpty)
+    // malformed nesting: a heading indirectly nested inside another (the
+    // implied-end-tag rule only closes on a DIRECT following heading)
+    // appears once — in its ancestor's subtree text — not twice
+    val nested = PageMeta.outlineOf(2L, graft.kernel.HtmlParser.parse(
+      "<h1>A<div><h2>B</h2></div></h1>"))
+    assert(nested == Seq((2L, 0, 1, "AB")))
   }
 
   test("hostGraph: external edges and distinct destinations per source host") {
@@ -213,12 +219,14 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://a.ex/p2", "https://b.ex/r"), // external
       ("https://a.ex/p3", "https://b.ex/s"), // external, same dst host
       ("https://A.EX/p4", "https://cdn.ex/t"), // host casing normalized
-      ("https://b.ex/p5", "https://b.ex/u")) // internal
+      ("https://b.ex/p5", "https://b.ex/u"), // internal
+      ("https://b.ex/p6", "/relative/unresolved"), // hostless: DROPPED
+      ("https://b.ex/p7", "mailto:x@y.ex")) // not a fetchable edge: DROPPED
       .toDF("src_url", "href")
     val rows = PageMeta.hostGraph(edges).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(rows("a.ex") == ((4L, 3L, 3L))) // 4 edges, 3 external, dsts {a,b,cdn}
-    assert(rows("b.ex") == ((1L, 0L, 1L)))
+    assert(rows("b.ex") == ((1L, 0L, 1L))) // phantom ''-host rows dropped
   }
 
   test("degrees: out/in aggregations reconcile with the edge list") {
