@@ -273,13 +273,25 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
 
   /** Indented `tag#id.classes` outline; `#text` for non-whitespace text
     * (src/index.ts:347–371). Iterative.
+    *
+    * TOTAL-OUTPUT bound: the literal format ("  " per level per line)
+    * makes output O(nodes × depth); with the 8192-level indent fidelity
+    * window a parseable ~100k-deep pathological document would otherwise
+    * build a multi-GB string. Output is capped at 2^29 chars — V8's max
+    * string length (≈2^29 − 24), so every structure the reference could
+    * physically RETURN (its `dfs` join would RangeError above that) is
+    * still byte-identical, and anything larger truncates with an explicit
+    * marker line instead of driving the JVM toward a 2^31 array limit.
     */
-  def structure: String = {
+  def structure: String = structureCapped(1L << 29)
+
+  private[kernel] def structureCapped(maxChars: Long): String = {
     val res = ArrayBuffer.empty[String]
+    var total = 0L
     // stack entries: (Element | "#text" marker, indention)
     val stack = new ArrayBuffer[(AnyRef, Int)](32)
     stack += ((this, 0))
-    while (stack.nonEmpty) {
+    while (stack.nonEmpty && total <= maxChars) {
       val (item, ind) = stack.remove(stack.length - 1)
       // indentation is capped at 8192 levels: the literal format ("  " per
       // level per line) makes the OUTPUT quadratic in depth — a 100k-deep
@@ -298,6 +310,8 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
           val classStr =
             if (node.classNames.nonEmpty) "." + node.classNames.mkString(".") else ""
           res += indStr + node.tagName + idStr + classStr
+          total += indStr.length + node.tagName.length + idStr.length +
+            classStr.length + 1
           var j = node.childNodes.length - 1
           while (j >= 0) {
             node.childNodes(j) match {
@@ -307,9 +321,12 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
             }
             j -= 1
           }
-        case _ => res += indStr + "#text"
+        case _ =>
+          res += indStr + "#text"
+          total += indStr.length + 6
       }
     }
+    if (total > maxChars) res += "[structure truncated: output exceeds JS string limit]"
     res.mkString("\n")
   }
 

@@ -31,9 +31,14 @@ object PiiScrub {
     * `(555) 123-4567`, dotted `555.123.4567`, dashed `555-123-4567`, plus
     * the short international `+NN-NNN-NNNN`. Alternative order matters and
     * is identical under Java and RE2 (both leftmost-FIRST by default): the
-    * long form is tried before the short fallback.
+    * long form is tried before the short fallback. The digit-initial
+    * branch carries a `\b` anchor (valid in both Java and RE2) so a
+    * phone-shaped SUFFIX inside a longer digit run is not redacted
+    * mid-number (`9555.123.4567` must stay intact, not become
+    * `9<PHONE>`); the paren and `+` branches are anchored by their
+    * non-word first character already.
     */
-  val PhoneRe = "(\\+\\d{1,2}[-. ])?(\\(\\d{3}\\) ?|\\d{3}[-.])\\d{3}[-.]\\d{4}" +
+  val PhoneRe = "(\\+\\d{1,2}[-. ])?(\\(\\d{3}\\) ?|\\b\\d{3}[-.])\\d{3}[-.]\\d{4}" +
     "|\\+\\d{1,2}-\\d{3}-\\d{3,4}(-\\d{4})?"
 
   /** IPv6: full 8-group form or `::`-compressed with a trailing group
@@ -41,14 +46,28 @@ object PiiScrub {
     * v4-mapped address is left to [[Ipv4Re]] (scrub order covers it).
     * `\b` anchors hold because both ends are hex word chars.
     *
+    * The compressed alternatives are ENUMERATED per left-group count k
+    * (longest first — leftmost-first alternation in both Java and RE2
+    * mirrors the old greedy quantifier) with the right side bounded to
+    * `7 - k` groups, so a match never spans more groups than a valid
+    * address can hold (`::` stands for >= 1 zero group, hence
+    * left + right <= 7): `1:2:3:4:5:6::7:8:9:a` no longer swallows 10
+    * groups — only its longest valid-shaped prefix (`…::7`) is redacted
+    * and the trailing junk survives verbatim.
+    *
     * DOCUMENTED LIMIT: forms that START or END with `::` (`::1`,
     * `::ffff:0:1`, `2001:db8::`) are NOT matched — anchoring a match at a
     * bare `:` needs lookbehind/lookahead, which the Java∩RE2 oracle
     * subset lacks, and consuming the preceding character instead would
     * corrupt the replacement. Spec-pinned so the gap is explicit.
     */
-  val Ipv6Re = "\\b(([0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}" +
-    "|([0-9A-Fa-f]{1,4}:){1,6}:[0-9A-Fa-f]{1,4}(:[0-9A-Fa-f]{1,4}){0,4})\\b"
+  val Ipv6Re: String = {
+    val h = "[0-9A-Fa-f]{1,4}"
+    val compressed = (6 to 1 by -1)
+      .map(k => s"($h:){$k}:$h(:$h){0,${6 - k}}")
+      .mkString("|")
+    s"\\b(($h:){7}$h|$compressed)\\b"
+  }
 
   /** Adds `n_email` / `n_ip` / `n_ipv6` / `n_phone` counts (over the
     * ORIGINAL text) and a `scrubbed` column with typed placeholders

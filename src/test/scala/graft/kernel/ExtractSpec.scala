@@ -152,6 +152,20 @@ class ExtractSpec extends AnyFunSuite {
     assert(lines(8500) == "  " * 8192 + "div")
   }
 
+  test("structure total-output bound truncates with a marker instead of building a multi-GB string") {
+    // the public cap sits at V8's max string length (2^29) so anything we
+    // truncate the reference could not materialize either; pinned here via
+    // the package-private capped variant with a small budget
+    val root = parse("<div><p>a</p><p>b</p><p>c</p></div>")
+    val full = firstEl(root).structureCapped(Long.MaxValue)
+    assert(full == firstEl(root).structure) // real docs: bound invisible
+    val cut = firstEl(root).structureCapped(10)
+    val lines = cut.split("\n")
+    assert(lines.last == "[structure truncated: output exceeds JS string limit]")
+    assert(lines.length < full.split("\n").length + 1)
+    assert(full.startsWith(lines.dropRight(1).mkString("\n")))
+  }
+
   // ---- entity codec (html-entities@2.3.2 defaults) ----
 
   test("decode named, legacy, numeric entities") {

@@ -137,6 +137,32 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.getAs[String]("scrubbed") == "loopback ::1 and prefix 2001:db8:: stay")
   }
 
+  test("PiiScrub phone boundary: a phone-shaped suffix inside a digit run stays intact") {
+    // digit-initial branches are \b-anchored: '9555.123.4567' is NOT a
+    // phone with a stray leading 9 — redacting mid-number would corrupt
+    // the adjacent numeric and over-count n_phone
+    val out = PiiScrub.scrub(docsOf(
+      1L -> "order 9555.123.4567 is not a phone but 555.123.4567 is"))
+      .collect().head
+    assert(out.getAs[Long]("n_phone") == 1L)
+    assert(out.getAs[String]("scrubbed") ==
+      "order 9555.123.4567 is not a phone but <PHONE> is")
+  }
+
+  test("PiiScrub IPv6 group cap: an over-long group run redacts only a valid-shaped prefix") {
+    // left k + right r <= 7 compressed groups (:: stands for >= 1 zero
+    // group): '1:2:3:4:5:6::7:8:9:a' (10 visible groups) must not be
+    // swallowed whole — the longest valid-shaped prefix (…::7, 7 groups)
+    // redacts and the trailing junk survives
+    val out = PiiScrub.scrub(docsOf(
+      1L -> "bad 1:2:3:4:5:6::7:8:9:a end",
+      2L -> "max 1:2:3:4:5:6::7 ok"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("scrubbed") == "bad <IPV6>:8:9:a end")
+    assert(out(2L).getAs[Long]("n_ipv6") == 1L)
+    assert(out(2L).getAs[String]("scrubbed") == "max <IPV6> ok")
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val out = TextAnalysis.nfcNormalize(docsOf(
       1L -> "café and Ångström", // decomposed
