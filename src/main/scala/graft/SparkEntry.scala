@@ -987,12 +987,28 @@ object SparkEntry {
     "q78_resolve_links" -> ((s, dir) => {
       // frontier construction: kernel-extracted outlink hrefs — absolute,
       // root-relative, relative, parent-relative, protocol-relative, and
-      // query-only, one class per doc_id%6 — RESOLVED against the page url
-      // (RFC 3986 §5) as pure Columns. The oracle builds every expected
-      // absolute from parts.
+      // query-only, one class per doc_id%6 — RESOLVED against the page's
+      // DOCUMENT BASE (RFC 3986 §5 + WHATWG <base href>), not the page url
+      // blindly: doc_id%5 classes declare an absolute cross-host base, a
+      // RELATIVE base (itself resolved against the page url first), a
+      // base with no href (ignored), TWO bases (first wins), or none.
+      // Every (base-class × href-class) combination lands on a different
+      // absolute, and the oracle rebuilds all 30 from parts — a resolver
+      // that ignores <base> (or picks the wrong declaration) hash-fails.
+      // The typed boundary between documentBase and resolveUrl is the
+      // documented no-CSE HOF hazard (see UrlOps).
+      import s.implicits._
       val host = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
         lit(".example"))
       val baseUrl = concat(host, lit("/dir/sub/page.html"))
+      val baseTag = when(col("doc_id") % 5 === 0,
+          lit("<base href=\"https://b.example/bd/sub/\">"))
+        .when(col("doc_id") % 5 === 1, lit("<base href=\"rel/\">"))
+        .when(col("doc_id") % 5 === 2, lit("<base target=\"_b\">"))
+        .when(col("doc_id") % 5 === 3,
+          lit("<base href=\"https://first.example/f/\">" +
+            "<base href=\"https://second.example/s/\">"))
+        .otherwise(lit(""))
       val href = when(col("doc_id") % 6 === 0,
           concat(lit("https://other.example/abs/"), col("doc_id")))
         .when(col("doc_id") % 6 === 1, concat(lit("/root/"), col("doc_id")))
@@ -1000,14 +1016,19 @@ object SparkEntry {
         .when(col("doc_id") % 6 === 3, concat(lit("../up/"), col("doc_id")))
         .when(col("doc_id") % 6 === 4, concat(lit("//cdn.example/c/"), col("doc_id")))
         .otherwise(concat(lit("?page="), col("doc_id")))
-      val page = concat(lit("<div><a href=\""), href, lit("\">x</a></div>"))
-      val edges = graft.ops.PageMeta.outlinks(
+      val page = concat(lit("<head>"), baseTag,
+        lit("</head><div><a href=\""), href, lit("\">x</a></div>"))
+      val edges = graft.ops.PageMeta.outlinksWithBase(
         docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
-        .toDF()
-      edges
+      val withBase = edges
         .join(docs(s, dir).select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
         .select(col("doc_id"), col("href"),
-          graft.ops.UrlOps.resolveUrl(col("base_url"), col("href")).as("resolved"))
+          graft.ops.UrlOps.documentBase(col("base_url"), col("page_base"))
+            .as("eff_base"))
+        .as[(Long, String, String)].mapPartitions(identity)
+        .toDF("doc_id", "href", "eff_base")
+      withBase.select(col("doc_id"), col("href"),
+        graft.ops.UrlOps.resolveUrl(col("eff_base"), col("href")).as("resolved"))
     }),
 
     "q79_sitemap_incremental" -> ((s, dir) => {
@@ -1068,18 +1089,24 @@ object SparkEntry {
         lit(".Example/q/"), col("doc_id") % 5)
       val page = concat(lit("<div><a href=\""), relTarget,
         lit("\">r</a><a href=\""), absTarget, lit("\">a</a></div>"))
-      val edges = graft.ops.PageMeta.outlinks(
-        d.select(col("doc_id"), encode(page, "UTF-8").as("html"))).toDF()
+      val edges = graft.ops.PageMeta.outlinksWithBase(
+        d.select(col("doc_id"), encode(page, "UTF-8").as("html")))
       import s.implicits._
-      // typed boundary between resolve and canonicalize: the two Column
-      // pipelines each contain CodegenFallback HOF folds, and nesting them
-      // in one expression makes Catalyst DUPLICATE the inner resolve tree
-      // into every sub-extraction of the outer canonicalize (no CSE for
-      // fallback expressions — measured 15.9 s vs ~1 s at sf0.1). The
-      // boundary materializes each url once per row.
-      val resolved = edges
+      // typed boundaries between documentBase, resolve, and canonicalize:
+      // the three Column pipelines each contain CodegenFallback HOF folds,
+      // and nesting them in one expression makes Catalyst DUPLICATE the
+      // inner tree into every sub-extraction of the outer one (no CSE for
+      // fallback expressions — measured 15.9 s vs ~1 s at sf0.1). Each
+      // boundary materializes its url once per row. The frontier honors
+      // <base href> (none declared in this synth — documentBase passes the
+      // page url through — but the composition is the production path).
+      val withBase = edges
         .join(d.select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
-        .select(graft.ops.UrlOps.resolveUrl(col("base_url"), col("href"))
+        .select(graft.ops.UrlOps.documentBase(col("base_url"), col("page_base"))
+          .as("eff_base"), col("href"))
+        .as[(String, String)].mapPartitions(identity).toDF("eff_base", "href")
+      val resolved = withBase
+        .select(graft.ops.UrlOps.resolveUrl(col("eff_base"), col("href"))
           .as("resolved"))
         .as[String].mapPartitions(identity).toDF("resolved")
       val canon = resolved
@@ -1775,22 +1802,39 @@ object SparkEntry {
           "'en' AS lang_of_1, 'fr' AS lang_of_2 " +
           "FROM documents WHERE doc_id % 7 <> 0"),
       "q78_resolve_links" ->
-        ("SELECT doc_id, " +
-          "CASE cast(doc_id % 6 AS int) " +
+        // effective document base per doc_id%5 class (auth / base dir /
+        // base path / parent-of-base-dir), then the RFC 3986 resolution
+        // per doc_id%6 href class — every combination rebuilt from parts
+        ("WITH p AS (SELECT doc_id, " +
+          "concat('https://h', doc_id % 20, '.example') AS host, " +
+          "cast(doc_id % 5 AS int) AS b, cast(doc_id % 6 AS int) AS c " +
+          "FROM documents), " +
+          "e AS (SELECT doc_id, c, " +
+          "CASE b WHEN 0 THEN 'https://b.example' " +
+          "WHEN 3 THEN 'https://first.example' ELSE host END AS auth, " +
+          "CASE b WHEN 0 THEN '/bd/sub/' WHEN 1 THEN '/dir/sub/rel/' " +
+          "WHEN 3 THEN '/f/' ELSE '/dir/sub/' END AS bdir, " +
+          "CASE b WHEN 0 THEN '/bd/sub/' WHEN 1 THEN '/dir/sub/rel/' " +
+          "WHEN 3 THEN '/f/' ELSE '/dir/sub/page.html' END AS bpath, " +
+          "CASE b WHEN 0 THEN '/bd/' WHEN 1 THEN '/dir/sub/' " +
+          "WHEN 3 THEN '/' ELSE '/dir/' END AS pdir " +
+          "FROM p) " +
+          "SELECT doc_id, " +
+          "CASE c " +
           "WHEN 0 THEN concat('https://other.example/abs/', doc_id) " +
           "WHEN 1 THEN concat('/root/', doc_id) " +
           "WHEN 2 THEN concat('sib', doc_id, '.html') " +
           "WHEN 3 THEN concat('../up/', doc_id) " +
           "WHEN 4 THEN concat('//cdn.example/c/', doc_id) " +
           "ELSE concat('?page=', doc_id) END AS href, " +
-          "CASE cast(doc_id % 6 AS int) " +
+          "CASE c " +
           "WHEN 0 THEN concat('https://other.example/abs/', doc_id) " +
-          "WHEN 1 THEN concat('https://h', doc_id % 20, '.example/root/', doc_id) " +
-          "WHEN 2 THEN concat('https://h', doc_id % 20, '.example/dir/sub/sib', doc_id, '.html') " +
-          "WHEN 3 THEN concat('https://h', doc_id % 20, '.example/dir/up/', doc_id) " +
+          "WHEN 1 THEN concat(auth, '/root/', doc_id) " +
+          "WHEN 2 THEN concat(auth, bdir, 'sib', doc_id, '.html') " +
+          "WHEN 3 THEN concat(auth, pdir, 'up/', doc_id) " +
           "WHEN 4 THEN concat('https://cdn.example/c/', doc_id) " +
-          "ELSE concat('https://h', doc_id % 20, '.example/dir/sub/page.html?page=', doc_id) " +
-          "END AS resolved FROM documents"),
+          "ELSE concat(auth, bpath, '?page=', doc_id) " +
+          "END AS resolved FROM e"),
       "q79_sitemap_incremental" ->
         ("SELECT doc_id, concat('https://s.example/', doc_id * 3 + i) AS loc, " +
           "concat('2026-01-', lpad(cast((doc_id + i) % 28 + 1 AS varchar), 2, '0')) AS lastmod, " +

@@ -52,7 +52,28 @@ object PageMeta {
     private[ops] val table = Query.compileUnion("table")
     private[ops] val alternate = Query.compileUnion("link[rel=\"alternate\"]")
     private[ops] val meta = Query.compileUnion("meta")
+    private[ops] val base = Query.compileUnion("base")
   }
+
+  /** Document BASE declaration (`<base href=...>`): the first `base`
+    * element carrying an `href` attribute wins, in tree order, exactly as
+    * WHATWG defines the document base URL — CDN-served and legacy sites
+    * use it routinely, and resolving their relative outlinks against the
+    * page url instead silently enqueues wrong frontier entries. Returns
+    * the RAW declared value ("" when no base/href exists); it may itself
+    * be relative — compose with [[graft.ops.UrlOps.documentBase]] to get
+    * the absolute base the hrefs resolve against. Lenient like every
+    * extractor here: a `base` outside `<head>` still counts (browsers
+    * honor the first one wherever it parsed), `href=""` counts as
+    * declared (the spec resolves it to the page url, which is what ""
+    * composes to downstream). The kernel already parses `base` as a void
+    * element (HtmlParser tag table — reference src/index.ts:36); this is
+    * the extraction half.
+    */
+  def pageBaseOf(root: graft.kernel.Element, s: PageSelectors): String =
+    Query.querySelectorAll(root, s.base).iterator
+      .flatMap(_.getAttribute("href"))
+      .take(1).toSeq.headOption.getOrElse("")
 
   /** Per-page head-metadata extraction (pure kernel function — the exact
     * logic [[headMeta]] runs per row; corpus goldens pin it on real pages).
@@ -110,6 +131,30 @@ object PageMeta {
           outlinksOf(id, parseBytes(html), sels)
         }
       }
+  }
+
+  /** [[outlinks]] plus the page's `<base href>` declaration riding every
+    * edge row as `page_base` ("" when the page declares none) — ONE kernel
+    * parse serves both extractions, keeping the map-only shape. This is
+    * the edge table frontier construction should start from: resolve each
+    * href against `UrlOps.documentBase(page_url, page_base)`, not the page
+    * url alone (q78/q81 compose it that way).
+    */
+  def outlinksWithBase(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sels = new PageSelectors
+        it.flatMap { case (id, html) =>
+          val root = parseBytes(html)
+          val base = pageBaseOf(root, sels)
+          outlinksOf(id, root, sels).map(o =>
+            (o.doc_id, o.href, o.anchor, o.nofollow, base))
+        }
+      }
+      .toDF("doc_id", "href", "anchor", "nofollow", "page_base")
   }
 
   /** Structured-data (JSON-LD) extraction: the schema.org payloads sites

@@ -136,6 +136,21 @@ object UrlOps {
         removeDotSegments(concat(baseDir, refPath)), refQuery))
   }
 
+  /** The DOCUMENT BASE hrefs actually resolve against (WHATWG: the first
+    * `base[href]`, itself resolved against the page url; no declaration →
+    * the page url). `baseHref` may be absolute, relative, or ""/null —
+    * "" composes to the page url, matching the spec's "empty href
+    * resolves to the document's URL".
+    *
+    * COMPOSITION NOTE: this contains [[resolveUrl]]'s HOF fold — do NOT
+    * nest it inside another resolveUrl/canonicalizeUrl Column (see the
+    * object scaladoc); materialize the base through a typed boundary
+    * before resolving hrefs against it, as q78/q81 do.
+    */
+  def documentBase(pageUrl: Column, baseHref: Column): Column =
+    when(baseHref.isNull || baseHref === "", pageUrl)
+      .otherwise(resolveUrl(pageUrl, baseHref))
+
   def canonicalizeUrl(u: Column): Column = {
     val scheme = urlScheme(u)
     val host = urlHost(u)

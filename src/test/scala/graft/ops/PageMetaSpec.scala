@@ -69,6 +69,64 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(1).href == "/y" && !rows(1).nofollow) // whole-token only
   }
 
+  test("outlinksWithBase: first base[href] wins; base with no href is skipped") {
+    val rows = PageMeta.outlinksWithBase(pagesOf(
+      "<head><base target=\"_b\">" + // no href: not a base declaration
+        "<base href=\"https://cdn.example/assets/\">" + // first WITH href wins
+        "<base href=\"https://second.example/\">" +
+        "</head><a href=\"img/x.png\">x</a><a href=\"/y\">y</a>")).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.getAs[String]("page_base") == "https://cdn.example/assets/"))
+    assert(rows.map(_.getAs[String]("href")).toSeq == Seq("img/x.png", "/y"))
+  }
+
+  test("outlinksWithBase: no base declaration yields empty page_base") {
+    val rows = PageMeta.outlinksWithBase(pagesOf(
+      "<a href=\"/only\">o</a>")).collect()
+    assert(rows.head.getAs[String]("page_base") == "")
+  }
+
+  test("documentBase composition: relative base resolves against the page url first") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // relative <base href="rel/"> → https://h.example/dir/sub/rel/, and a
+    // relative outlink then resolves against THAT, not the page url — the
+    // wrong-frontier defect this feature exists to prevent
+    val edges = PageMeta.outlinksWithBase(pagesOf(
+      "<head><base href=\"rel/\"></head><a href=\"../up/p.html\">p</a>"))
+    val out = edges
+      .select(col("href"),
+        UrlOps.documentBase(lit("https://h.example/dir/sub/page.html"),
+          col("page_base")).as("eff_base"))
+      .select(col("eff_base"),
+        UrlOps.resolveUrl(col("eff_base"), col("href")).as("resolved"))
+      .collect().head
+    assert(out.getAs[String]("eff_base") == "https://h.example/dir/sub/rel/")
+    assert(out.getAs[String]("resolved") == "https://h.example/dir/sub/up/p.html")
+  }
+
+  test("real-page golden: gmail.html's real <base href> rides every edge; injected base honored") {
+    def read(p: String) = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(p)), "UTF-8")
+    // gmail.html declares a REAL base — the exact production shape this
+    // feature exists for (reference test/html/gmail.html)
+    val gmail = PageMeta.outlinksWithBase(pagesOf(
+      read("/root/reference/test/html/gmail.html"))).collect()
+    assert(gmail.nonEmpty)
+    assert(gmail.forall(
+      _.getAs[String]("page_base") == "https://mail.google.com/mail/u/0/"))
+    // hillcrest declares none (29 real anchors) — and an injected base is
+    // picked up without disturbing the edge set
+    val page = read("/root/reference/test/html/hillcrestpartyrentals.html")
+    val plain = PageMeta.outlinksWithBase(pagesOf(page)).collect()
+    assert(plain.nonEmpty && plain.forall(_.getAs[String]("page_base") == ""))
+    val injected = page.replaceFirst("<head>",
+      "<head><base href=\"https://base.example/g/\">")
+    assert(injected != page)
+    val rows = PageMeta.outlinksWithBase(pagesOf(injected)).collect()
+    assert(rows.length == plain.length)
+    assert(rows.forall(_.getAs[String]("page_base") == "https://base.example/g/"))
+  }
+
   test("alternates: hreflang/href pairs in order; stylesheet and href-less skipped") {
     val rows = PageMeta.alternates(pagesOf(
       "<head><link rel=\"alternate\" hreflang=\"en\" href=\"https://e/en\">" +
