@@ -1165,6 +1165,41 @@ object SparkEntry {
           col("level"), col("heading"))
     }),
 
+    "q87_images" -> ((s, dir) => {
+      // IMAGE-TEXT pair table — the first stage of an interleaved
+      // image-text corpus (the missing input of the multimodal layer): one
+      // row per img in document order, srcset parsed by the WHATWG token
+      // rules (URL tokens run to WHITESPACE, so commas inside urls
+      // survive; a candidate may omit its descriptor), src resolved
+      // against the page url. doc_id%4 srcset classes: none /
+      // x-descriptors / w-descriptors / comma-in-url + descriptor-less;
+      // every 3rd doc adds a src-LESS srcset-only img (legal responsive
+      // form). The oracle rebuilds every row from doc_id arithmetic — a
+      // split-on-comma srcset parser hash-fails on the %4==3 class.
+      val d = docs(s, dir)
+      val pageUrl = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+        lit(".example/dir/page.html"))
+      val srcset = when(col("doc_id") % 4 === 0, lit(""))
+        .when(col("doc_id") % 4 === 1, lit(" srcset=\"a.png 1x, b.png 2x\""))
+        .when(col("doc_id") % 4 === 2,
+          concat(lit(" srcset=\"/w/"), col("doc_id"), lit("-400.jpg 400w, /w/"),
+            col("doc_id"), lit("-800.jpg 800w\"")))
+        .otherwise(lit(" srcset=\"p,q.png 1x, r.png\""))
+      val page = concat(lit("<div><img src=\"/i/"), col("doc_id"),
+        lit(".png\" alt=\"alt "), col("doc_id"), lit("\""), srcset, lit(">"),
+        when(col("doc_id") % 3 === 0,
+          lit("<img srcset=\"s1.png 1x\" alt=\"second\">")).otherwise(lit("")),
+        lit("</div>"))
+      val imgs = graft.ops.PageMeta.images(
+        d.select(col("doc_id"), encode(page, "UTF-8").as("html")))
+      imgs.join(d.select(col("doc_id"), pageUrl.as("page_url")), "doc_id")
+        .select(col("doc_id"), col("img_idx").cast("long").as("img_idx"),
+          when(col("src") === "", lit(""))
+            .otherwise(graft.ops.UrlOps.resolveUrl(col("page_url"), col("src")))
+            .as("src_resolved"),
+          col("alt"), col("srcset"))
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -1877,6 +1912,20 @@ object SparkEntry {
           "concat('U ', doc_id, ' ', j) " +
           "FROM documents, unnest(range(1, cast(doc_id % 3 + 2 AS int))) AS t(j) " +
           "WHERE j % 2 = 0"),
+      "q87_images" ->
+        ("WITH p AS (SELECT doc_id, " +
+          "concat('https://h', doc_id % 20, '.example') AS host, " +
+          "cast(doc_id % 4 AS int) AS k FROM documents) " +
+          "SELECT doc_id, cast(0 AS bigint) AS img_idx, " +
+          "concat(host, '/i/', doc_id, '.png') AS src_resolved, " +
+          "concat('alt ', doc_id) AS alt, " +
+          "CASE k WHEN 0 THEN '' WHEN 1 THEN 'a.png 1x|b.png 2x' " +
+          "WHEN 2 THEN concat('/w/', doc_id, '-400.jpg 400w|/w/', doc_id, '-800.jpg 800w') " +
+          "ELSE 'p,q.png 1x|r.png' END AS srcset " +
+          "FROM p " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(1 AS bigint), '', 'second', 's1.png 1x' " +
+          "FROM documents WHERE doc_id % 3 = 0"),
       "q85_quality_composite" ->
         ("WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, " +
           "len(string_split_regex(text, '\\s+')) AS n_tokens, " +

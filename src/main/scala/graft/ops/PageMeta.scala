@@ -53,6 +53,7 @@ object PageMeta {
     private[ops] val alternate = Query.compileUnion("link[rel=\"alternate\"]")
     private[ops] val meta = Query.compileUnion("meta")
     private[ops] val base = Query.compileUnion("base")
+    private[ops] val img = Query.compileUnion("img")
   }
 
   /** Document BASE declaration (`<base href=...>`): the first `base`
@@ -234,6 +235,89 @@ object PageMeta {
         }
       }
       .toDF("doc_id", "table_idx", "row_idx", "is_header", "cells")
+  }
+
+  /** WHATWG srcset microsyntax parser → (url, descriptor) candidates in
+    * declaration order. The splitting rule is NOT split-on-comma — URLs
+    * may contain commas: a candidate's URL token runs to the first
+    * WHITESPACE; only a comma that ends the URL token (or stands between
+    * candidates) separates them. Descriptors run to the next top-level
+    * comma (parenthesized future-syntax skipped per spec); a candidate may
+    * omit its descriptor entirely ("" here — the spec's density-1x
+    * default is the consumer's business, not the parser's). Malformed
+    * runs (bare commas, empty candidates) are skipped, never thrown —
+    * like every extractor in this codebase.
+    */
+  def parseSrcset(s: String): Seq[(String, String)] = {
+    if (s == null || s.isEmpty) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      while (i < n && (Character.isWhitespace(s.charAt(i)) || s.charAt(i) == ',')) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+        var url = s.substring(start, i)
+        if (url.endsWith(",")) {
+          // URL token ended in comma(s): strip them — candidate has no
+          // descriptor and the comma already separates the next one
+          var e = url.length
+          while (e > 0 && url.charAt(e - 1) == ',') e -= 1
+          url = url.substring(0, e)
+          if (url.nonEmpty) out += ((url, ""))
+        } else if (url.nonEmpty) {
+          while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+          val dstart = i
+          var depth = 0
+          while (i < n && (depth > 0 || s.charAt(i) != ',')) {
+            val c = s.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')' && depth > 0) depth -= 1
+            i += 1
+          }
+          out += ((url, s.substring(dstart, i).trim))
+          if (i < n) i += 1 // consume the separating comma
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** IMAGE-TEXT pair extraction — the first stage of every interleaved
+    * image-text / caption-pair training pipeline: one row per `img` in
+    * document order with its src, alt text, and parsed srcset candidates
+    * (normalized to `url descriptor` joined by `|` — relational, oracle-
+    * hashable, and splittable downstream without re-parsing). `src` may
+    * legitimately be absent ("" — responsive images can declare only
+    * srcset); resolution against the page url / document base is the
+    * caller's composition ([[graft.ops.UrlOps.resolveUrl]]), keeping this
+    * map-only and url-table-free like the other extractors. Composes with
+    * the multimodal layer: join fetched payloads on the resolved url and
+    * the (image bytes, alt text) pair table falls out.
+    */
+  def imagesOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): Seq[(Long, Int, String, String, String)] =
+    Query.querySelectorAll(root, s.img).iterator.zipWithIndex.map {
+      case (img, i) =>
+        val src = img.getAttribute("src").getOrElse("")
+        val alt = img.getAttribute("alt").getOrElse("")
+        val srcset = img.getAttribute("srcset").map(parseSrcset).getOrElse(Seq.empty)
+          .map { case (u, d) => if (d.isEmpty) u else u + " " + d }
+          .mkString("|")
+        (id, i, src, alt, srcset)
+    }.toSeq
+
+  def images(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sels = new PageSelectors
+        it.flatMap { case (id, html) => imagesOf(id, parseBytes(html), sels) }
+      }
+      .toDF("doc_id", "img_idx", "src", "alt", "srcset")
   }
 
   /** hreflang ALTERNATES — the multilingual-corpus construction signal:

@@ -159,6 +159,31 @@ class CorpusSpec extends AnyFunSuite {
       Seq("fr=http://www.ssense.com/fr/women/designers/all/backpacks"))),
     "nice.html" -> ((-4666535434114061994L, Seq.empty)))
 
+  // round-5 extractor on the same real pages: image-text pairs — count,
+  // srcset-carrying count, md5 of (src, alt, srcset-normalized) lines.
+  // gmail.html carries a REAL srcset (found, not synthesized); google's
+  // single logo img pins the minimal case.
+  private val imageGoldens: Map[String, (Int, Int, String)] = Map(
+    "ffmpeg.html" -> ((5, 0, "7a6ef67bf24fcadbe0ca0625a579eb99")),
+    "gmail.html" -> ((203, 1, "af4832dfc52bef00ad5d7fac4cd8a9b0")),
+    "google.html" -> ((1, 0, "ba36a6c57edf1e865993db47dd9bd366")),
+    "hillcrestpartyrentals.html" -> ((36, 0, "7e3ddb1d93481192d1a0288aae18ab6d")),
+    "incomplete-script" -> ((5, 0, "1052422de29b7f71c5d630d97ac84c14")),
+    "nice.html" -> ((5, 0, "958677d6df1cb962852a9ad1bac186d1")))
+
+  test("real-page goldens: image-text pairs (count, srcset presence, content md5)") {
+    val sels = new graft.ops.PageMeta.PageSelectors
+    imageGoldens.foreach { case (name, (n, nSrcset, m)) =>
+      whenPresent(name) { html =>
+        val imgs = graft.ops.PageMeta.imagesOf(0L, HtmlParser.parse(html), sels)
+        assert(imgs.length == n, s"$name image count")
+        assert(imgs.count(_._5.nonEmpty) == nSrcset, s"$name srcset count")
+        assert(md5(imgs.map(r => s"${r._3}\t${r._4}\t${r._5}")
+          .mkString("\n")) == m, s"$name images md5")
+      }
+    }
+  }
+
   test("real-page goldens: template fingerprint, hreflang alternates, no meta-refresh") {
     val sels = new graft.ops.PageMeta.PageSelectors
     extractorGoldens.foreach { case (name, (fp, alts)) =>

@@ -127,6 +127,47 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getAs[String]("page_base") == "https://base.example/g/"))
   }
 
+  test("parseSrcset: w/x descriptors, commas inside URLs, trailing commas, descriptor-less") {
+    // the WHATWG rule: URL tokens run to whitespace, NOT to commas
+    assert(PageMeta.parseSrcset("a.png 1x, b.png 2x") ==
+      Seq(("a.png", "1x"), ("b.png", "2x")))
+    assert(PageMeta.parseSrcset("/w/400.jpg 400w,/w/800.jpg 800w") ==
+      Seq(("/w/400.jpg", "400w"), ("/w/800.jpg", "800w")))
+    // comma INSIDE a url (not followed by whitespace) stays in the url
+    assert(PageMeta.parseSrcset("p,q.png 1x, r.png") ==
+      Seq(("p,q.png", "1x"), ("r.png", "")))
+    // url token ending in comma(s): comma is the separator, no descriptor
+    assert(PageMeta.parseSrcset("a.png, b.png 2x") ==
+      Seq(("a.png", ""), ("b.png", "2x")))
+    assert(PageMeta.parseSrcset("a.png,, b.png") ==
+      Seq(("a.png", ""), ("b.png", "")))
+    // a comma mid-token (no whitespace after) stays IN the url per spec:
+    // 'a.png,b.png' is one URL token — split-on-comma parsers get this wrong
+    assert(PageMeta.parseSrcset("a.png,b.png 2x") ==
+      Seq(("a.png,b.png", "2x")))
+    assert(PageMeta.parseSrcset("only.png") == Seq(("only.png", "")))
+    assert(PageMeta.parseSrcset("  spaced.png   3x  ,  next.png  ") ==
+      Seq(("spaced.png", "3x"), ("next.png", "")))
+    // parenthesized future-syntax descriptors may contain commas
+    assert(PageMeta.parseSrcset("x.png calc(1x, 2x), y.png 1x") ==
+      Seq(("x.png", "calc(1x, 2x)"), ("y.png", "1x")))
+    assert(PageMeta.parseSrcset("") == Seq.empty)
+    assert(PageMeta.parseSrcset(" , ,, ") == Seq.empty) // bare commas: skipped
+  }
+
+  test("images: document order, src-less srcset-only imgs, alt entity decode") {
+    val rows = PageMeta.images(pagesOf(
+      "<div><img src=\"/a.png\" alt=\"A &amp; B\" srcset=\"a1.png 1x, a2.png 2x\">" +
+        "<p><img srcset=\"only.png 400w\" alt=\"inner\"></p>" +
+        "<img src=\"/c.png\"></div>")).collect()
+      .map(r => (r.getAs[Int]("img_idx"), r.getAs[String]("src"),
+        r.getAs[String]("alt"), r.getAs[String]("srcset")))
+    assert(rows.toSeq == Seq(
+      (0, "/a.png", "A & B", "a1.png 1x|a2.png 2x"),
+      (1, "", "inner", "only.png 400w"),
+      (2, "/c.png", "", "")))
+  }
+
   test("alternates: hreflang/href pairs in order; stylesheet and href-less skipped") {
     val rows = PageMeta.alternates(pagesOf(
       "<head><link rel=\"alternate\" hreflang=\"en\" href=\"https://e/en\">" +
