@@ -1200,6 +1200,19 @@ object SparkEntry {
           col("alt"), col("srcset"))
     }),
 
+    "q88_drop_dup_spans" -> ((s, dir) =>
+      // duplicated-span REMOVAL (the action half of Lee et al. 2022 —
+      // q63 is the analysis half): spans whose winnowing fingerprints
+      // appear in >= 2 docs are excised, overlap-merged to maximal
+      // ranges; unique text survives byte-identical. The oracle rebuilds
+      // the ENTIRE rewrite from the independent Python winnow-position
+      // fixture: shared set via spread, positions -> char ranges,
+      // gaps-and-islands merge, kept-segment reassembly with substr —
+      // so the hash pins every output byte against a second
+      // implementation. (Char arithmetic is valid because the corpus is
+      // BMP-only: JVM UTF-16 indices == DuckDB char indices.)
+      graft.ops.TextAnalysis.dropDupSpans(docs(s, dir))),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -1926,6 +1939,46 @@ object SparkEntry {
           "UNION ALL " +
           "SELECT doc_id, cast(1 AS bigint), '', 'second', 's1.png 1x' " +
           "FROM documents WHERE doc_id % 3 = 0"),
+      "q88_drop_dup_spans" ->
+        // full independent replay of the span rewrite: shared fingerprints
+        // from the winnow fixture's spread, positions -> [pos, pos+16)
+        // ranges clipped to len, gaps-and-islands merge (adjacent ranges
+        // coalesce, matching the engine), kept segments reassembled with
+        // substr in order
+        ("WITH d AS (SELECT doc_id, text, md5(text) AS m, length(text) AS len " +
+          "FROM documents), " +
+          "fp AS (SELECT DISTINCT d.doc_id, w.fingerprint FROM d " +
+          "JOIN '/root/repo/tools/fixtures/winnow_expected.parquet' w " +
+          "ON w.text_md5 = d.m), " +
+          "sh AS (SELECT fingerprint FROM fp GROUP BY 1 " +
+          "HAVING count(DISTINCT doc_id) >= 2), " +
+          "pos AS (SELECT DISTINCT d.doc_id, p.pos AS s, " +
+          "least(p.pos + 16, d.len) AS e FROM d " +
+          "JOIN '/root/repo/tools/fixtures/winnow_pos_expected.parquet' p " +
+          "ON p.text_md5 = d.m JOIN sh USING (fingerprint)), " +
+          "o AS (SELECT doc_id, s, e, max(e) OVER (PARTITION BY doc_id " +
+          "ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax " +
+          "FROM pos), " +
+          "g AS (SELECT doc_id, s, e, sum(CASE WHEN pmax IS NULL OR s > pmax " +
+          "THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY s) AS grp " +
+          "FROM o), " +
+          "mr AS (SELECT doc_id, grp, min(s) AS s, max(e) AS e FROM g " +
+          "GROUP BY 1, 2), " +
+          "agg AS (SELECT doc_id, count(*) AS nr, sum(e - s) AS rm FROM mr " +
+          "GROUP BY 1), " +
+          "kseg AS (SELECT doc_id, coalesce(lag(e) OVER (PARTITION BY doc_id " +
+          "ORDER BY s), 0) AS ks, s AS ke FROM mr " +
+          "UNION ALL " +
+          "SELECT mr.doc_id, max(mr.e) AS ks, max(d.len) AS ke FROM mr " +
+          "JOIN d USING (doc_id) GROUP BY mr.doc_id), " +
+          "clean AS (SELECT k.doc_id, " +
+          "string_agg(substr(d.text, k.ks + 1, k.ke - k.ks), '' ORDER BY k.ks) AS ct " +
+          "FROM kseg k JOIN d USING (doc_id) WHERE k.ke > k.ks GROUP BY 1) " +
+          "SELECT d.doc_id, " +
+          "CASE WHEN a.doc_id IS NULL THEN d.text ELSE coalesce(c.ct, '') END AS clean_text, " +
+          "cast(coalesce(a.nr, 0) AS bigint) AS n_spans_removed, " +
+          "cast(coalesce(a.rm, 0) AS bigint) AS n_chars_removed " +
+          "FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN clean c USING (doc_id)"),
       "q85_quality_composite" ->
         ("WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, " +
           "len(string_split_regex(text, '\\s+')) AS n_tokens, " +

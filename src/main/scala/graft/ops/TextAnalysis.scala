@@ -187,6 +187,35 @@ object TextAnalysis {
     out.toArray
   }
 
+  /** Winnowing selection WITH positions: the same per-window leftmost-min
+    * choice as [[winnow]] (so the VALUE set is identical — the spread /
+    * shared-fingerprint determination stays consistent with
+    * [[fingerprints]]), but keeping (position, hash) pairs so a span can
+    * be mapped back to its char range for REMOVAL. A hash selected at two
+    * positions keeps both (a passage repeated inside one doc marks both
+    * copies).
+    */
+  private[ops] def winnowPositions(hashes: Array[Long],
+      guarantee: Int): Array[(Int, Long)] = {
+    if (hashes.isEmpty) return Array.empty
+    if (hashes.length <= guarantee) {
+      var mi = 0
+      var i = 1
+      while (i < hashes.length) { if (hashes(i) < hashes(mi)) mi = i; i += 1 }
+      return Array((mi, hashes(mi)))
+    }
+    val out = scala.collection.mutable.LinkedHashSet.empty[(Int, Long)]
+    var i = 0
+    while (i + guarantee <= hashes.length) {
+      var mj = i
+      var j = i + 1
+      while (j < i + guarantee) { if (hashes(j) < hashes(mj)) mj = j; j += 1 }
+      out += ((mj, hashes(mj)))
+      i += 1
+    }
+    out.toArray
+  }
+
   val fingerprintUdf = udf { (text: String) =>
     if (text == null) Array.empty[Long]
     else winnow(rollingHashes(text, 16), 8)
@@ -327,6 +356,77 @@ object TextAnalysis {
         sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("n_shared_fp"))
       .withColumn("shared_frac",
         col("n_shared_fp").cast("double") / col("n_fp").cast("double"))
+  }
+
+  /** Duplicated-SPAN REMOVAL — the action half of Lee et al. 2022 (q63's
+    * [[dupSpanStats]] is the analysis half): rewrite each document by
+    * EXCISING the spans whose winnowing fingerprints appear in >= 2
+    * distinct documents, keeping per-doc removal counts for the audit
+    * table. A span is the char window its selected fingerprint hashes
+    * ([[winnowPositions]] maps fingerprints back to positions);
+    * overlapping windows merge into maximal ranges before excision, so
+    * a long copied passage comes out as one cut, not a comb.
+    *
+    * Shape at 10^12 docs: the shared-fingerprint table is winnow-sparse
+    * (~1/guarantee of positions) and `HAVING >= 2` keeps only the shared
+    * tail — broadcast-able; the join back is fingerprint-keyed; the
+    * rewrite itself is per-row pure (one collect_set of the doc's OWN
+    * shared fingerprints rides the row — bounded by the doc's winnow
+    * count). No driver-side loop, no all-pairs anything.
+    */
+  def dropDupSpans(docs: DataFrame, textCol: String = "text",
+      window: Int = 16, guarantee: Int = 8): DataFrame = {
+    val fps = fingerprints(docs, textCol)
+    val shared = fps.groupBy("fingerprint")
+      .agg(countDistinct("doc_id").as("ndocs"))
+      .filter(col("ndocs") >= 2).select("fingerprint")
+    val sharedPerDoc = fps.join(shared, "fingerprint")
+      .groupBy("doc_id").agg(collect_set("fingerprint").as("shared_fps"))
+    val w = window
+    val g = guarantee
+    val removeUdf = udf { (text: String, sharedFps: Seq[Long]) =>
+      if (text == null) ("", 0, 0)
+      else if (sharedFps.isEmpty) (text, 0, 0)
+      else {
+        val sharedSet = sharedFps.toSet
+        val len = text.length
+        val ranges = winnowPositions(rollingHashes(text, w), g).iterator
+          .filter { case (_, h) => sharedSet.contains(h) }
+          .map { case (p, _) => (p, math.min(p + w, len)) }
+          .toArray.sortBy(_._1)
+        if (ranges.isEmpty) (text, 0, 0)
+        else {
+          val sb = new java.lang.StringBuilder(len)
+          var nRanges = 0
+          var removed = 0
+          var cur = 0 // next char not yet emitted
+          var re = -1 // current merged range end (-1: none open)
+          var rs = 0
+          var i = 0
+          while (i < ranges.length) {
+            val (s, e) = ranges(i)
+            if (re < 0) { rs = s; re = e }
+            else if (s <= re) { if (e > re) re = e } // overlap/adjacent: extend
+            else {
+              sb.append(text, cur, rs); cur = re
+              nRanges += 1; removed += re - rs
+              rs = s; re = e
+            }
+            i += 1
+          }
+          sb.append(text, cur, rs)
+          nRanges += 1; removed += re - rs
+          sb.append(text, re, len)
+          (sb.toString, nRanges, removed)
+        }
+      }
+    }
+    docs.join(sharedPerDoc, Seq("doc_id"), "left")
+      .withColumn("x", removeUdf(col(textCol),
+        coalesce(col("shared_fps"), array().cast("array<long>"))))
+      .select(col("doc_id"), col("x._1").as("clean_text"),
+        col("x._2").cast("long").as("n_spans_removed"),
+        col("x._3").cast("long").as("n_chars_removed"))
   }
 
   /** Corpus-TYPICALITY score: mean document frequency of a doc's tokens —

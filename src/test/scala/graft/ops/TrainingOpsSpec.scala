@@ -163,6 +163,45 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L).getAs[String]("scrubbed") == "max <IPV6> ok")
   }
 
+  test("dropDupSpans: planted shared passage removed, unique text survives byte-identical") {
+    val passage = "this exact passage was copied verbatim between two documents " +
+      "and span level dedup must excise it from both of them entirely"
+    val u1 = "completely original opening material with distinct vocabulary okay"
+    val u2 = "another unrelated document body that shares nothing textual at all"
+    val u3 = "third standalone document with no copied content whatsoever fine"
+    val out = TextAnalysis.dropDupSpans(docsOf(
+      1L -> (u1 + " " + passage),
+      2L -> (passage + " " + u2),
+      3L -> u3))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // the untouched doc comes back byte-identical with zero removals
+    assert(out(3L).getAs[String]("clean_text") == u3)
+    assert(out(3L).getAs[Long]("n_spans_removed") == 0L)
+    assert(out(3L).getAs[Long]("n_chars_removed") == 0L)
+    // the planted passage is gone from both carriers
+    Seq(1L, 2L).foreach { id =>
+      val clean = out(id).getAs[String]("clean_text")
+      assert(!clean.contains(passage), s"doc $id still carries the passage")
+      assert(out(id).getAs[Long]("n_chars_removed") > 0L)
+    }
+    // unique text survives byte-identical OUTSIDE the excised window span:
+    // winnow windows overhang the passage boundary by < window+guarantee
+    // chars, so the unique PREFIX of doc 1 far from the seam is intact
+    assert(out(1L).getAs[String]("clean_text").startsWith(u1.take(40)))
+    assert(out(2L).getAs[String]("clean_text").endsWith(u2.takeRight(40)))
+  }
+
+  test("winnowPositions selects the same value set as winnow") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog repeatedly and often",
+      "short", "", "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+    texts.foreach { t =>
+      val hs = TextAnalysis.rollingHashes(t, 16)
+      val vals = TextAnalysis.winnowPositions(hs, 8).map(_._2).toSet
+      assert(vals == TextAnalysis.winnow(hs, 8).toSet, s"value-set drift on '$t'")
+    }
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val out = TextAnalysis.nfcNormalize(docsOf(
       1L -> "café and Ångström", // decomposed

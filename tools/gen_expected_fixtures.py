@@ -110,6 +110,31 @@ def winnow(hashes, guarantee=8):
     return out
 
 
+def winnow_positions(hashes, guarantee=8):
+    """Leftmost-min winnowing selection WITH positions (independent port of
+    TextAnalysis.winnowPositions): same per-window choice as winnow() so the
+    value set is identical; (pos, hash) pairs deduped, same hash at two
+    positions kept. Drives the q88 span-REMOVAL oracle."""
+    if not hashes:
+        return []
+    if len(hashes) <= guarantee:
+        mj = 0
+        for j in range(1, len(hashes)):
+            if hashes[j] < hashes[mj]:
+                mj = j
+        return [(mj, hashes[mj])]
+    seen, out = set(), []
+    for i in range(len(hashes) - guarantee + 1):
+        mj = i
+        for j in range(i + 1, i + guarantee):
+            if hashes[j] < hashes[mj]:
+                mj = j
+        if (mj, hashes[mj]) not in seen:
+            seen.add((mj, hashes[mj]))
+            out.append((mj, hashes[mj]))
+    return out
+
+
 def mix64(z):
     z &= MASK
     z ^= z >> 33
@@ -296,10 +321,13 @@ def main():
         for (t,) in con.execute(f"SELECT text FROM '{p}'").fetchall():
             texts[hashlib.md5(t.encode()).hexdigest()] = t
     sim_rows, win_rows, band_rows, lang_rows, zl_rows = [], [], [], [], []
+    pos_rows = []
     for md, t in sorted(texts.items()):
         sim_rows.append((md, simhash(t)))
         for fp in winnow(rolling_hashes(t)):
             win_rows.append((md, fp))
+        for p, fp in winnow_positions(rolling_hashes(t)):
+            pos_rows.append((md, p, fp))
         for b, h in minhash_bands(t):
             band_rows.append((md, b, h))
         lang_rows.append((md, lang_id(t)))
@@ -317,6 +345,9 @@ def main():
     con.execute("CREATE TABLE win(text_md5 VARCHAR, fingerprint BIGINT)")
     con.executemany("INSERT INTO win VALUES (?, ?)", win_rows)
     con.execute(f"COPY win TO '{outdir}/winnow_expected.parquet' (FORMAT PARQUET)")
+    con.execute("CREATE TABLE winpos(text_md5 VARCHAR, pos INT, fingerprint BIGINT)")
+    con.executemany("INSERT INTO winpos VALUES (?, ?, ?)", pos_rows)
+    con.execute(f"COPY winpos TO '{outdir}/winnow_pos_expected.parquet' (FORMAT PARQUET)")
     con.execute("CREATE TABLE mb(text_md5 VARCHAR, band INT, bucket BIGINT)")
     con.executemany("INSERT INTO mb VALUES (?, ?, ?)", band_rows)
     con.execute(f"COPY mb TO '{outdir}/minhash_bands_expected.parquet' (FORMAT PARQUET)")
