@@ -1213,6 +1213,43 @@ object SparkEntry {
       // BMP-only: JVM UTF-16 indices == DuckDB char indices.)
       graft.ops.TextAnalysis.dropDupSpans(docs(s, dir))),
 
+    "q89_stream_delta" -> ((s, dir) => {
+      // the STREAMING crawl-delta path itself under the cross-engine gate
+      // (its batch twin is q65; until now the stream was pinned only by
+      // spec + twin equivalence): the q65 snapshots replay as two
+      // MicroBatches through a MemoryStream -> flatMapGroupsWithState ->
+      // memory sink, and the oracle predicts every emitted event from
+      // doc_id arithmetic. batch 1 = the corpus ('new' per url); batch 2
+      // drops every 10th url (absence is not an event - no 'gone'),
+      // modifies every remaining 3rd, re-fetches the rest ('unchanged'),
+      // and adds 1e9-offset urls ('new'). The driver-side collect feeds
+      // the MemoryStream - a test-harness device by construction (the
+      // production path is readStream over a crawl feed); state and sink
+      // stay bounded by the SF.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val rows = docs(s, dir).select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      val old = rows.map { case (id, t) => ("u/" + id, t) }.toSeq
+      val nw = rows.filter(_._1 % 10 != 0).map { case (id, t) =>
+          ("u/" + id, if (id % 3 == 0) t + " updated" else t) }.toSeq ++
+        rows.filter(_._1 % 8 == 0).map { case (id, t) =>
+          ("u/" + (id + 1000000000L), t) }.toSeq
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, String)]
+      val qname = "q89_delta_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = graft.streaming.ExtractStream.crawlDeltaStream(
+        input.toDF().toDF("url", "text"))
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        input.addData(old: _*); stream.processAllAvailable()
+        input.addData(nw: _*); stream.processAllAvailable()
+      } finally stream.stop()
+      s.table(qname).select("url", "status", "fp")
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -1979,6 +2016,18 @@ object SparkEntry {
           "cast(coalesce(a.nr, 0) AS bigint) AS n_spans_removed, " +
           "cast(coalesce(a.rm, 0) AS bigint) AS n_chars_removed " +
           "FROM d LEFT JOIN agg a USING (doc_id) LEFT JOIN clean c USING (doc_id)"),
+      "q89_stream_delta" ->
+        ("SELECT concat('u/', doc_id) AS url, 'new' AS status, " +
+          "md5(text) AS fp FROM documents " +
+          "UNION ALL " +
+          "SELECT concat('u/', doc_id), " +
+          "CASE WHEN doc_id % 3 = 0 THEN 'modified' ELSE 'unchanged' END, " +
+          "CASE WHEN doc_id % 3 = 0 THEN md5(concat(text, ' updated')) " +
+          "ELSE md5(text) END " +
+          "FROM documents WHERE doc_id % 10 <> 0 " +
+          "UNION ALL " +
+          "SELECT concat('u/', doc_id + 1000000000), 'new', md5(text) " +
+          "FROM documents WHERE doc_id % 8 = 0"),
       "q85_quality_composite" ->
         ("WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, " +
           "len(string_split_regex(text, '\\s+')) AS n_tokens, " +
