@@ -2076,14 +2076,19 @@ object SparkEntry {
           "SELECT src_host, count(*) AS n_edges, " +
           "cast(sum(CASE WHEN dst_host <> src_host THEN 1 ELSE 0 END) AS bigint) AS n_external, " +
           "count(DISTINCT dst_host) AS n_dst_hosts FROM e GROUP BY src_host"),
-      "q83_train_shards" ->
-        ("WITH k AS (SELECT doc_id, md5(concat(doc_id, ':graft')) AS sk FROM documents), " +
-          "s AS (SELECT doc_id, sk, " +
-          "((strpos('0123456789abcdef', substr(sk, 1, 1)) - 1) * 16 + " +
-          "(strpos('0123456789abcdef', substr(sk, 2, 1)) - 1)) % 8 AS shard FROM k) " +
+      "q83_train_shards" -> {
+        // first 12 hex chars of the md5 key -> 48-bit integer, mod nShards
+        // (mirrors trainShards' conv(substring(key,1,12),16,10) % n)
+        val hex48 = (0 until 12).map { i =>
+          val p = 1L << (4 * (11 - i)) // 16^(11-i)
+          s"(strpos('0123456789abcdef', substr(sk, ${i + 1}, 1)) - 1) * $p"
+        }.mkString(" + ")
+        "WITH k AS (SELECT doc_id, md5(concat(doc_id, ':graft')) AS sk FROM documents), " +
+          s"s AS (SELECT doc_id, sk, cast(($hex48) % 8 AS bigint) AS shard FROM k) " +
           "SELECT doc_id, shard, " +
           "cast(row_number() OVER (PARTITION BY shard ORDER BY sk) - 1 AS bigint) AS pos_in_shard " +
-          "FROM s")
+          "FROM s"
+      }
     )
   }
 }

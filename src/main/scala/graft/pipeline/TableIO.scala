@@ -190,24 +190,47 @@ object TableIO {
     * and at 10^12 docs the shuffle must be deterministic and resumable —
     * no RNG state. Sort key = md5(doc_id:salt): any re-run, retry, or
     * cluster size reproduces the identical shard contents and intra-shard
-    * order. Shard id comes from the key's first byte (hash-uniform), so
-    * shard sizes balance; position is a per-shard window over the key —
+    * order. Shard id = the key's first 48 bits mod nShards (hash-uniform
+    * up to ~10^6 shards); position is a per-shard window over the key —
     * one shuffle on the shard id, each shard sorted independently
-    * (nothing global), which scales to any shard count.
+    * (nothing global).
+    *
+    * SCALE CONTRACT: the per-shard window runs ONE TASK PER SHARD, so
+    * `nShards` MUST scale with the corpus — size it so a shard holds
+    * roughly a training file's worth of rows (the real-world shape is
+    * 10^3–10^5 shards; [[trainShardsBySize]] computes it from a target).
+    * A small constant nShards over a huge corpus funnels the corpus
+    * through nShards tasks — correct, but serial. Bounds enforced:
+    * 1 <= nShards <= 2^20.
     */
   def trainShards(docs: DataFrame, nShards: Int,
       salt: String = "graft"): DataFrame = {
+    require(nShards >= 1 && nShards <= (1 << 20),
+      s"nShards must be in [1, 2^20], got $nShards")
     import org.apache.spark.sql.expressions.Window
     val key = md5(concat(col("doc_id").cast("string"), lit(":" + salt)))
     docs
       .withColumn("__shuffle_key", key)
       .withColumn("shard",
-        pmod(conv(substring(col("__shuffle_key"), 1, 2), 16, 10).cast("long"),
+        pmod(conv(substring(col("__shuffle_key"), 1, 12), 16, 10).cast("long"),
           lit(nShards)))
       .withColumn("pos_in_shard",
         row_number().over(
           Window.partitionBy("shard").orderBy("__shuffle_key")) - 1)
       .drop("__shuffle_key")
+  }
+
+  /** [[trainShards]] sized from a per-shard row target instead of a shard
+    * count — the honest way to pick nShards at any scale (one count()
+    * action, then the same deterministic layout).
+    */
+  def trainShardsBySize(docs: DataFrame, targetShardRows: Long,
+      salt: String = "graft"): DataFrame = {
+    require(targetShardRows >= 1, s"targetShardRows must be >= 1")
+    val n = docs.count()
+    val nShards = math.min((1L << 20).toLong,
+      math.max(1L, (n + targetShardRows - 1) / targetShardRows)).toInt
+    trainShards(docs, nShards, salt)
   }
 
   /** Row-level resume: anti-join against already-committed urls. The

@@ -158,6 +158,31 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sameShardAdjacent < 40, s"order leaked: $sameShardAdjacent adjacent pairs")
   }
 
+  test("trainShards: balanced and fully populated at nShards=256; sizing helper; bounds enforced") {
+    import spark.implicits._
+    // the scale contract: one task per shard, so nShards grows with the
+    // corpus — at 256 shards the 48-bit key must populate EVERY shard
+    // near-uniformly (the old first-byte key capped usable shards at 256;
+    // beyond that they would sit empty)
+    val docs = (0L until 5000L).map(Tuple1(_)).toDF("doc_id")
+    val sizes = TableIO.trainShards(docs, nShards = 256).collect()
+      .map(r => r.getLong(1)).groupBy(identity).view.mapValues(_.length)
+    assert(sizes.size == 256, s"only ${sizes.size}/256 shards populated")
+    // binomial(5000, 1/256): mean ~19.5, sd ~4.4 — [2, 45] is >5 sd slack
+    assert(sizes.values.min >= 2 && sizes.values.max <= 45,
+      s"imbalance: min=${sizes.values.min} max=${sizes.values.max}")
+    // sizing helper: ~20 rows per shard target -> 250 shards
+    val bySize = TableIO.trainShardsBySize(docs, targetShardRows = 20L)
+      .select("shard").distinct().count()
+    assert(bySize == 250L, s"expected 250 shards, got $bySize")
+    intercept[IllegalArgumentException] {
+      TableIO.trainShards(docs, nShards = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TableIO.trainShards(docs, nShards = (1 << 20) + 1)
+    }
+  }
+
   test("bucket metrics table is checkpointed and idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
     TableIO.writeBucketMetrics(spark, dir,
