@@ -11,7 +11,10 @@ object TextAnalysis {
 
   // ---- language identification (char-class + stopword-profile heuristic) ----
 
-  private val stopwords: Map[String, Set[String]] = Map(
+  // ORDERED (ties -> earlier wins; the Python fixture mirror keeps the
+  // identical list order). Non-ASCII is \u-escaped so source round-trips
+  // can never silently re-compose the byte sequence the profiles match on.
+  private val stopwords: Vector[(String, Set[String])] = Vector(
     "en" -> Set("the", "of", "and", "to", "in", "is", "it", "that", "was",
       "for", "with", "his", "her", "this", "are", "not", "you"),
     "fr" -> Set("le", "la", "les", "de", "des", "et", "un", "une", "du",
@@ -19,14 +22,34 @@ object TextAnalysis {
     "es" -> Set("el", "la", "los", "las", "de", "y", "un", "una", "del",
       "en", "es", "que", "por", "para", "con", "no", "se"),
     "de" -> Set("der", "die", "das", "und", "ein", "eine", "von", "zu",
-      "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"))
+      "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"),
+    "pt" -> Set("não", "são", "uma", "os", "das", "dos", "em",
+      "por", "com", "mais", "foi", "como", "mas", "seu", "sua"),
+    "it" -> Set("il", "gli", "che", "di", "per", "non", "sono", "della",
+      "nel", "alla", "come", "anche", "più", "questo", "questa"),
+    "nl" -> Set("het", "een", "van", "dat", "die", "niet", "met", "voor",
+      "zijn", "ook", "maar", "naar", "heeft", "wordt", "deze"),
+    "pl" -> Set("w", "na", "z", "do", "nie", "się", "jest", "jak",
+      "ale", "czy", "tak", "dla", "przez", "już", "tylko"),
+    "tr" -> Set("ve", "bir", "bu", "için", "ile", "gibi", "daha",
+      "çok", "olarak", "ama", "kadar", "sonra", "olan", "ben"),
+    "sv" -> Set("och", "att", "det", "som", "är", "på", "av",
+      "för", "med", "till", "den", "har", "inte", "om", "ett"),
+    "vi" -> Set("và", "của", "là", "có",
+      "không", "được", "trong", "đã",
+      "người", "một", "cho", "với",
+      "những", "này"),
+    "id" -> Set("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
+      "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke"))
 
   /** Heuristic language ID by script + stopword profile: within CJK-heavy
     * text, kana (Hiragana/Katakana) distinguishes Japanese and Hangul
     * distinguishes Korean — Japanese prose is typically 20–50% kana (any
     * share >= 10% of CJK letters is decisive), Korean is nearly all Hangul;
     * Han-only text is labeled zh. Cyrillic → ru; otherwise best
-    * stopword-profile score among en/fr/es/de ("und" when nothing scores).
+    * stopword-profile score among the 12 Latin-script profiles
+    * (en/fr/es/de/pt/it/nl/pl/tr/sv/vi/id — ordered, ties to the earlier
+    * entry; "und" when nothing scores).
     */
   def langIdOf(text: String): String = {
     if (text == null || text.isEmpty) return "und"

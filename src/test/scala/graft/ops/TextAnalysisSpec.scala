@@ -21,6 +21,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.langIdOf("12345 67890 !!!") == "und")
   }
 
+  test("langId round-5 profiles: pt/it/nl/pl/tr/sv/vi/id") {
+    assert(TextAnalysis.langIdOf(
+      "as coisas não são uma surpresa mas foi como seu pai dizia com mais calma") == "pt")
+    assert(TextAnalysis.langIdOf(
+      "il libro che non sono riuscito a leggere è anche più bello di questo") == "it")
+    assert(TextAnalysis.langIdOf(
+      "het huis dat wij niet met een tuin voor deze prijs konden vinden") == "nl")
+    assert(TextAnalysis.langIdOf(
+      "nie wiem czy to jest tak dobre ale dla nas już tylko w ten sposób") == "pl")
+    assert(TextAnalysis.langIdOf(
+      "bu kitap bir hediye ve onun için daha çok zaman kadar bekledim") == "tr")
+    assert(TextAnalysis.langIdOf(
+      "det är en bok som jag inte har läst för att den är för lång") == "sv")
+    assert(TextAnalysis.langIdOf(
+      "đây là một cuốn sách mà tôi không có thời gian để đọc cho những người") == "vi")
+    assert(TextAnalysis.langIdOf(
+      "buku ini adalah hadiah yang tidak akan saya lupakan dari dalam hati") == "id")
+    // romance-overlap guard: heavy shared articles still route to the
+    // strongest profile, and ties break to the EARLIER (ordered) entry
+    assert(TextAnalysis.langIdOf("la de un") == "fr") // fr before es on ties
+  }
+
   test("rolling hashes are shift-consistent (Rabin-Karp property)") {
     val a = TextAnalysis.rollingHashes("abcdefghijklmnopqrstuvwxyz", 16)
     val b = TextAnalysis.rollingHashes("XYZabcdefghijklmnopqrstuvwxyz", 16)

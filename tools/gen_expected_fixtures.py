@@ -167,15 +167,20 @@ def minhash_bands(text, num_hashes=32, bands=8):
 
 # ---- language-ID heuristic (independent port of TextAnalysis.langIdOf) ----
 
-_STOPWORDS = [  # same insertion order as the Scala Map (ties -> earlier wins)
-    ("en", {"the", "of", "and", "to", "in", "is", "it", "that", "was",
-            "for", "with", "his", "her", "this", "are", "not", "you"}),
-    ("fr", {"le", "la", "les", "de", "des", "et", "un", "une", "du",
-            "en", "est", "que", "pour", "dans", "qui", "pas", "sur"}),
-    ("es", {"el", "la", "los", "las", "de", "y", "un", "una", "del",
-            "en", "es", "que", "por", "para", "con", "no", "se"}),
-    ("de", {"der", "die", "das", "und", "ein", "eine", "von", "zu",
-            "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"}),
+_STOPWORDS = [  # same order as the Scala Vector (ties -> earlier wins);
+    # non-ASCII \u-escaped to pin the exact NFC codepoints the JVM matches
+    ("en", {"the", "of", "and", "to", "in", "is", "it", "that", "was", "for", "with", "his", "her", "this", "are", "not", "you"}),
+    ("fr", {"le", "la", "les", "de", "des", "et", "un", "une", "du", "en", "est", "que", "pour", "dans", "qui", "pas", "sur"}),
+    ("es", {"el", "la", "los", "las", "de", "y", "un", "una", "del", "en", "es", "que", "por", "para", "con", "no", "se"}),
+    ("de", {"der", "die", "das", "und", "ein", "eine", "von", "zu", "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"}),
+    ("pt", {"não", "são", "uma", "os", "das", "dos", "em", "por", "com", "mais", "foi", "como", "mas", "seu", "sua"}),
+    ("it", {"il", "gli", "che", "di", "per", "non", "sono", "della", "nel", "alla", "come", "anche", "più", "questo", "questa"}),
+    ("nl", {"het", "een", "van", "dat", "die", "niet", "met", "voor", "zijn", "ook", "maar", "naar", "heeft", "wordt", "deze"}),
+    ("pl", {"w", "na", "z", "do", "nie", "się", "jest", "jak", "ale", "czy", "tak", "dla", "przez", "już", "tylko"}),
+    ("tr", {"ve", "bir", "bu", "için", "ile", "gibi", "daha", "çok", "olarak", "ama", "kadar", "sonra", "olan", "ben"}),
+    ("sv", {"och", "att", "det", "som", "är", "på", "av", "för", "med", "till", "den", "har", "inte", "om", "ett"}),
+    ("vi", {"và", "của", "là", "có", "không", "được", "trong", "đã", "người", "một", "cho", "với", "những", "này"}),
+    ("id", {"yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke"}),
 ]
 
 import unicodedata
