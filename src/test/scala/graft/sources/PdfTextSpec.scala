@@ -134,6 +134,18 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extractText(out.toByteArray) == "nested")
   }
 
+  test("real-world layout: PDF 1.5 predictor-compressed xref stream with DecodeParms") {
+    // generated by the INDEPENDENT Python tool (tools/gen_pdf_fixture.py):
+    // no classic xref table — a /Type /XRef stream under FlateDecode with
+    // /Predictor 12 /Columns 7, the layout mainstream writers emit. The
+    // scanner design (find content streams, ignore the xref) must extract
+    // the page text AND take nothing from the xref stream's binary payload.
+    val pdf = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/repo/tools/fixtures/predictor_xref.pdf"))
+    assert(PdfText.extractText(pdf) ==
+      "Predictor xref fixture\nDecodeParms survive")
+  }
+
   test("corrupt flate payload yields empty text, no throw") {
     val body = "not actually deflated"
     val pdf = (s"%PDF-1.4\n1 0 obj\n<< /Length ${body.length} /Filter /FlateDecode >>\n" +
