@@ -33,6 +33,19 @@ object ExtractMain {
     spark.sparkContext.setLogLevel("WARN")
 
     val pages = Synth.pages(spark, sfDir)
+    runBuckets(spark, pages, outTable, nBuckets, saltParts, failAtBucket)
+    spark.stop()
+  }
+
+  /** The bucketed-commit loop shared by [[ExtractMain]] and
+    * [[SoakMain]]: pending-bucket discovery (resume-aware), per-bucket
+    * extraction + atomic commit + lineage metrics + snapshot append, then
+    * the end-of-run totals. `failAtBucket` injects a crash BEFORE that
+    * bucket's commit to drive the resume path.
+    */
+  def runBuckets(spark: SparkSession, pages: org.apache.spark.sql.DataFrame,
+      outTable: String, nBuckets: Int, saltParts: Int,
+      failAtBucket: Int): Unit = {
     val committed = TableIO.committedBuckets(outTable)
     if (committed.nonEmpty)
       println(s"[extract] resuming: buckets ${committed.toSeq.sorted.mkString(",")} already committed")
@@ -82,6 +95,5 @@ object ExtractMain {
       val tot = mt.agg(sum("docs"), sum("wall_sec")).collect().head
       println(f"[extract] metrics table: ${mt.count()} bucket rows, ${tot.getLong(0)} docs, ${tot.getDouble(1)}%.2f wall-sec")
     }
-    spark.stop()
   }
 }

@@ -33,18 +33,26 @@ object SparkEntry {
     Synth.pages(s, dir)
   private def htmlStr: Column = decode(col("html"), "UTF-8")
 
-  /** Temp dir for queries with eager write side effects (q71): registered
-    * for recursive deletion on JVM exit so repeated harness/bench runs do
-    * not accumulate full-corpus copies under /tmp.
+  /** Temp dir for queries with eager write side effects (q71). At most ONE
+    * such dir exists at a time: each call deletes the previous invocation's
+    * dir (bench warmup + N passes in one JVM would otherwise hold N+1
+    * full-corpus copies under /tmp simultaneously), and a single shutdown
+    * hook removes whichever dir is current at JVM exit.
     */
-  private def tempDirCleanedOnExit(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private val eagerTempDir =
+    new java.util.concurrent.atomic.AtomicReference[java.nio.file.Path](null)
+  private def delTree(f: java.io.File): Unit = {
+    val cs = f.listFiles(); if (cs != null) cs.foreach(delTree); f.delete(); ()
+  }
+  private lazy val eagerTempHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        val cs = f.listFiles(); if (cs != null) cs.foreach(del); f.delete(); ()
-      }
-      del(p.toFile)
+      val p = eagerTempDir.get(); if (p != null) delTree(p.toFile)
     }))
+  private def tempDirCleanedOnExit(prefix: String): String = {
+    eagerTempHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    val prev = eagerTempDir.getAndSet(p)
+    if (prev != null) delTree(prev.toFile)
     p.toString
   }
 
@@ -1247,7 +1255,13 @@ object SparkEntry {
         input.addData(old: _*); stream.processAllAvailable()
         input.addData(nw: _*); stream.processAllAvailable()
       } finally stream.stop()
-      s.table(qname).select("url", "status", "fp")
+      // detach the result from the memory sink and DROP its temp view —
+      // repeated invocations in one JVM (bench warmup + passes) would
+      // otherwise accumulate one corpus-scale event table per run
+      val events = s.table(qname)
+        .select("url", "status", "fp").as[(String, String, String)].collect()
+      s.catalog.dropTempView(qname)
+      events.toSeq.toDF("url", "status", "fp")
     }),
 
     "q85_quality_composite" -> ((s, dir) => {

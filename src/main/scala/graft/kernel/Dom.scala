@@ -326,7 +326,10 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
           total += indStr.length + 6
       }
     }
-    if (total > maxChars) res += "[structure truncated: output exceeds JS string limit]"
+    // marker ONLY when content was actually skipped — total can trip the
+    // cap on the final node with the stack already drained, and a complete
+    // output must never carry a lying truncation line
+    if (stack.nonEmpty) res += "[structure truncated: output exceeds JS string limit]"
     res.mkString("\n")
   }
 

@@ -287,8 +287,13 @@ object PageMeta {
   /** IMAGE-TEXT pair extraction — the first stage of every interleaved
     * image-text / caption-pair training pipeline: one row per `img` in
     * document order with its src, alt text, and parsed srcset candidates
-    * (normalized to `url descriptor` joined by `|` — relational, oracle-
-    * hashable, and splittable downstream without re-parsing). `src` may
+    * (normalized to `url descriptor` joined by `|` — relational and
+    * oracle-hashable; RFC 3986 forbids an unencoded `|` in URLs, so the
+    * separator is unambiguous for spec-conforming values, but raw
+    * attribute bytes are unconstrained — a literal `|` inside a crawled
+    * URL/descriptor is preserved verbatim, and a downstream `split('|')`
+    * of such a row mis-splits. Consumers needing hostile-input safety
+    * should re-run [[parseSrcset]] on the raw attribute). `src` may
     * legitimately be absent ("" — responsive images can declare only
     * srcset); resolution against the page url / document base is the
     * caller's composition ([[graft.ops.UrlOps.resolveUrl]]), keeping this

@@ -22,23 +22,23 @@ object TextAnalysis {
     "es" -> Set("el", "la", "los", "las", "de", "y", "un", "una", "del",
       "en", "es", "que", "por", "para", "con", "no", "se"),
     "de" -> Set("der", "die", "das", "und", "ein", "eine", "von", "zu",
-      "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"),
-    "pt" -> Set("não", "são", "uma", "os", "das", "dos", "em",
+      "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "f\u00fcr"),
+    "pt" -> Set("n\u00e3o", "s\u00e3o", "uma", "os", "das", "dos", "em",
       "por", "com", "mais", "foi", "como", "mas", "seu", "sua"),
     "it" -> Set("il", "gli", "che", "di", "per", "non", "sono", "della",
-      "nel", "alla", "come", "anche", "più", "questo", "questa"),
+      "nel", "alla", "come", "anche", "pi\u00f9", "questo", "questa"),
     "nl" -> Set("het", "een", "van", "dat", "die", "niet", "met", "voor",
       "zijn", "ook", "maar", "naar", "heeft", "wordt", "deze"),
-    "pl" -> Set("w", "na", "z", "do", "nie", "się", "jest", "jak",
-      "ale", "czy", "tak", "dla", "przez", "już", "tylko"),
-    "tr" -> Set("ve", "bir", "bu", "için", "ile", "gibi", "daha",
-      "çok", "olarak", "ama", "kadar", "sonra", "olan", "ben"),
-    "sv" -> Set("och", "att", "det", "som", "är", "på", "av",
-      "för", "med", "till", "den", "har", "inte", "om", "ett"),
-    "vi" -> Set("và", "của", "là", "có",
-      "không", "được", "trong", "đã",
-      "người", "một", "cho", "với",
-      "những", "này"),
+    "pl" -> Set("w", "na", "z", "do", "nie", "si\u0119", "jest", "jak",
+      "ale", "czy", "tak", "dla", "przez", "ju\u017c", "tylko"),
+    "tr" -> Set("ve", "bir", "bu", "i\u00e7in", "ile", "gibi", "daha",
+      "\u00e7ok", "olarak", "ama", "kadar", "sonra", "olan", "ben"),
+    "sv" -> Set("och", "att", "det", "som", "\u00e4r", "p\u00e5", "av",
+      "f\u00f6r", "med", "till", "den", "har", "inte", "om", "ett"),
+    "vi" -> Set("v\u00e0", "c\u1ee7a", "l\u00e0", "c\u00f3",
+      "kh\u00f4ng", "\u0111\u01b0\u1ee3c", "trong", "\u0111\u00e3",
+      "ng\u01b0\u1eddi", "m\u1ed9t", "cho", "v\u1edbi",
+      "nh\u1eefng", "n\u00e0y"),
     "id" -> Set("yang", "dan", "di", "itu", "dengan", "untuk", "tidak",
       "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke"))
 
@@ -390,35 +390,42 @@ object TextAnalysis {
     * overlapping windows merge into maximal ranges before excision, so
     * a long copied passage comes out as one cut, not a comb.
     *
-    * Shape at 10^12 docs: the shared-fingerprint table is winnow-sparse
-    * (~1/guarantee of positions) and `HAVING >= 2` keeps only the shared
-    * tail — broadcast-able; the join back is fingerprint-keyed; the
-    * rewrite itself is per-row pure (one collect_set of the doc's OWN
-    * shared fingerprints rides the row — bounded by the doc's winnow
-    * count). No driver-side loop, no all-pairs anything.
+    * Shape at 10^12 docs: each document is rolling-hashed + winnowed
+    * exactly ONCE — the (doc_id, pos, fingerprint) table materializes via
+    * localCheckpoint (the q38/q39 lineage pattern) and feeds BOTH the
+    * spread aggregation and the join-back, and the rewrite UDF receives
+    * the doc's shared POSITIONS directly instead of re-hashing the text.
+    * The shared-fingerprint table is winnow-sparse (~1/guarantee of
+    * positions) and `>= 2` keeps only the shared tail — broadcast-able;
+    * the join back is fingerprint-keyed. No driver-side loop, no
+    * all-pairs anything.
     */
   def dropDupSpans(docs: DataFrame, textCol: String = "text",
       window: Int = 16, guarantee: Int = 8): DataFrame = {
-    val fps = fingerprints(docs, textCol)
-    val shared = fps.groupBy("fingerprint")
-      .agg(countDistinct("doc_id").as("ndocs"))
-      .filter(col("ndocs") >= 2).select("fingerprint")
-    val sharedPerDoc = fps.join(shared, "fingerprint")
-      .groupBy("doc_id").agg(collect_set("fingerprint").as("shared_fps"))
     val w = window
     val g = guarantee
-    val removeUdf = udf { (text: String, sharedFps: Seq[Long]) =>
+    val posUdf = udf { (text: String) =>
+      if (text == null) Array.empty[(Int, Long)]
+      else winnowPositions(rollingHashes(text, w), g)
+    }
+    val posFps = docs
+      .select(col("doc_id"), explode(posUdf(col(textCol))).as("pf"))
+      .select(col("doc_id"), col("pf._1").as("pos"), col("pf._2").as("fingerprint"))
+      .localCheckpoint()
+    val shared = posFps.select("doc_id", "fingerprint").distinct()
+      .groupBy("fingerprint").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2).select("fingerprint")
+    val sharedPosPerDoc = posFps.join(shared, "fingerprint")
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("shared_pos"))
+    val removeUdf = udf { (text: String, sharedPos: Seq[Int]) =>
       if (text == null) ("", 0, 0)
-      else if (sharedFps.isEmpty) (text, 0, 0)
+      else if (sharedPos.isEmpty) (text, 0, 0)
       else {
-        val sharedSet = sharedFps.toSet
         val len = text.length
-        val ranges = winnowPositions(rollingHashes(text, w), g).iterator
-          .filter { case (_, h) => sharedSet.contains(h) }
-          .map { case (p, _) => (p, math.min(p + w, len)) }
+        val ranges: Array[(Int, Int)] = sharedPos.iterator
+          .map(p => (p, math.min(p + w, len)))
           .toArray.sortBy(_._1)
-        if (ranges.isEmpty) (text, 0, 0)
-        else {
+        locally {
           val sb = new java.lang.StringBuilder(len)
           var nRanges = 0
           var removed = 0
@@ -444,9 +451,9 @@ object TextAnalysis {
         }
       }
     }
-    docs.join(sharedPerDoc, Seq("doc_id"), "left")
+    docs.join(sharedPosPerDoc, Seq("doc_id"), "left")
       .withColumn("x", removeUdf(col(textCol),
-        coalesce(col("shared_fps"), array().cast("array<long>"))))
+        coalesce(col("shared_pos"), array().cast("array<int>"))))
       .select(col("doc_id"), col("x._1").as("clean_text"),
         col("x._2").cast("long").as("n_spans_removed"),
         col("x._3").cast("long").as("n_chars_removed"))

@@ -164,6 +164,10 @@ class ExtractSpec extends AnyFunSuite {
     assert(lines.last == "[structure truncated: output exceeds JS string limit]")
     assert(lines.length < full.split("\n").length + 1)
     assert(full.startsWith(lines.dropRight(1).mkString("\n")))
+    // no lying marker: if the cap trips on the FINAL node (nothing was
+    // skipped), the complete output must come back unannotated
+    val tiny = parse("<div></div>")
+    assert(firstEl(tiny).structureCapped(3) == "div")
   }
 
   // ---- entity codec (html-entities@2.3.2 defaults) ----

@@ -172,14 +172,14 @@ _STOPWORDS = [  # same order as the Scala Vector (ties -> earlier wins);
     ("en", {"the", "of", "and", "to", "in", "is", "it", "that", "was", "for", "with", "his", "her", "this", "are", "not", "you"}),
     ("fr", {"le", "la", "les", "de", "des", "et", "un", "une", "du", "en", "est", "que", "pour", "dans", "qui", "pas", "sur"}),
     ("es", {"el", "la", "los", "las", "de", "y", "un", "una", "del", "en", "es", "que", "por", "para", "con", "no", "se"}),
-    ("de", {"der", "die", "das", "und", "ein", "eine", "von", "zu", "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "für"}),
-    ("pt", {"não", "são", "uma", "os", "das", "dos", "em", "por", "com", "mais", "foi", "como", "mas", "seu", "sua"}),
-    ("it", {"il", "gli", "che", "di", "per", "non", "sono", "della", "nel", "alla", "come", "anche", "più", "questo", "questa"}),
+    ("de", {"der", "die", "das", "und", "ein", "eine", "von", "zu", "mit", "ist", "den", "nicht", "auf", "sich", "des", "im", "f\u00fcr"}),
+    ("pt", {"n\u00e3o", "s\u00e3o", "uma", "os", "das", "dos", "em", "por", "com", "mais", "foi", "como", "mas", "seu", "sua"}),
+    ("it", {"il", "gli", "che", "di", "per", "non", "sono", "della", "nel", "alla", "come", "anche", "pi\u00f9", "questo", "questa"}),
     ("nl", {"het", "een", "van", "dat", "die", "niet", "met", "voor", "zijn", "ook", "maar", "naar", "heeft", "wordt", "deze"}),
-    ("pl", {"w", "na", "z", "do", "nie", "się", "jest", "jak", "ale", "czy", "tak", "dla", "przez", "już", "tylko"}),
-    ("tr", {"ve", "bir", "bu", "için", "ile", "gibi", "daha", "çok", "olarak", "ama", "kadar", "sonra", "olan", "ben"}),
-    ("sv", {"och", "att", "det", "som", "är", "på", "av", "för", "med", "till", "den", "har", "inte", "om", "ett"}),
-    ("vi", {"và", "của", "là", "có", "không", "được", "trong", "đã", "người", "một", "cho", "với", "những", "này"}),
+    ("pl", {"w", "na", "z", "do", "nie", "si\u0119", "jest", "jak", "ale", "czy", "tak", "dla", "przez", "ju\u017c", "tylko"}),
+    ("tr", {"ve", "bir", "bu", "i\u00e7in", "ile", "gibi", "daha", "\u00e7ok", "olarak", "ama", "kadar", "sonra", "olan", "ben"}),
+    ("sv", {"och", "att", "det", "som", "\u00e4r", "p\u00e5", "av", "f\u00f6r", "med", "till", "den", "har", "inte", "om", "ett"}),
+    ("vi", {"v\u00e0", "c\u1ee7a", "l\u00e0", "c\u00f3", "kh\u00f4ng", "\u0111\u01b0\u1ee3c", "trong", "\u0111\u00e3", "ng\u01b0\u1eddi", "m\u1ed9t", "cho", "v\u1edbi", "nh\u1eefng", "n\u00e0y"}),
     ("id", {"yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam", "akan", "pada", "juga", "saya", "ke"}),
 ]
 
