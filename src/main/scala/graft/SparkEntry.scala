@@ -1264,6 +1264,56 @@ object SparkEntry {
       events.toSeq.toDF("url", "status", "fp")
     }),
 
+    "q90_social_meta" -> ((s, dir) => {
+      // publisher-declared social cards (OpenGraph/Twitter): doc_id%3==0
+      // declares a full og set with an entity-encoded title plus a SECOND
+      // og:title that must lose (first declaration wins, document order);
+      // %3==1 declares twitter:card + og:image only (sparse card);
+      // %3==2 declares none and must emit NOTHING. Property matching is
+      // case-insensitive ('OG:Title' in the second declaration).
+      val og = concat(
+        lit("<meta property=\"og:title\" content=\"T &amp; "), col("doc_id"),
+        lit("\"><meta property=\"OG:Title\" content=\"loser\">"),
+        lit("<meta property=\"og:description\" content=\"D "), col("doc_id"),
+        lit("\"><meta property=\"og:image\" content=\"https://i.ex/"),
+        col("doc_id"), lit(".jpg\"><meta property=\"og:type\" content=\"article\">"))
+      val tw = concat(
+        lit("<meta name=\"twitter:card\" content=\"summary\">"),
+        lit("<meta property=\"og:image\" content=\"https://i.ex/t"),
+        col("doc_id"), lit(".png\">"))
+      val head = when(col("doc_id") % 3 === 0, og)
+        .when(col("doc_id") % 3 === 1, tw).otherwise(lit(""))
+      val page = concat(lit("<html><head>"), head,
+        lit("</head><body><p>x</p></body></html>"))
+      graft.ops.PageMeta.socialMeta(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+    }),
+
+    "q91_captions" -> ((s, dir) => {
+      // image-caption pairs from semantic figure markup — the curated
+      // caption signal multimodal pipelines prefer over alt text:
+      // doc_id%4==0 full figure (img + entity-encoded figcaption);
+      // %4==1 figure with img but NO caption (caption "");
+      // %4==2 figure with no img (emits nothing) + a second complete one;
+      // %4==3 TWO figures (both emit, in document order)
+      val fullFig = concat(lit("<figure><img src=\"/f/"), col("doc_id"),
+        lit(".png\" alt=\"a"), col("doc_id"),
+        lit("\"><figcaption>Cap &amp; "), col("doc_id"),
+        lit("</figcaption></figure>"))
+      val bareFig = concat(lit("<figure><img src=\"/bare/"), col("doc_id"),
+        lit(".png\"></figure>"))
+      val imgless = lit("<figure><pre>code</pre></figure>")
+      val body = when(col("doc_id") % 4 === 0, fullFig)
+        .when(col("doc_id") % 4 === 1, bareFig)
+        .when(col("doc_id") % 4 === 2, concat(imgless, fullFig))
+        .otherwise(concat(fullFig, bareFig))
+      val page = concat(lit("<body>"), body, lit("</body>"))
+      graft.ops.PageMeta.captions(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .select(col("doc_id"), col("fig_idx").cast("long").as("fig_idx"),
+          col("img_src"), col("img_alt"), col("caption"))
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2042,6 +2092,31 @@ object SparkEntry {
           "UNION ALL " +
           "SELECT concat('u/', doc_id + 1000000000), 'new', md5(text) " +
           "FROM documents WHERE doc_id % 8 = 0"),
+      "q90_social_meta" ->
+        ("SELECT doc_id, concat('T & ', doc_id) AS og_title, " +
+          "concat('D ', doc_id) AS og_description, " +
+          "concat('https://i.ex/', doc_id, '.jpg') AS og_image, " +
+          "'' AS og_url, 'article' AS og_type, '' AS twitter_card " +
+          "FROM documents WHERE doc_id % 3 = 0 " +
+          "UNION ALL " +
+          "SELECT doc_id, '', '', " +
+          "concat('https://i.ex/t', doc_id, '.png'), '', '', 'summary' " +
+          "FROM documents WHERE doc_id % 3 = 1"),
+      "q91_captions" ->
+        ("WITH f AS (SELECT doc_id, " +
+          "concat('/f/', doc_id, '.png') AS fsrc, " +
+          "concat('a', doc_id) AS falt, " +
+          "concat('Cap & ', doc_id) AS fcap, " +
+          "concat('/bare/', doc_id, '.png') AS bsrc, " +
+          "cast(doc_id % 4 AS int) AS k FROM documents) " +
+          "SELECT doc_id, cast(0 AS bigint) AS fig_idx, " +
+          "CASE WHEN k = 1 THEN bsrc ELSE fsrc END AS img_src, " +
+          "CASE WHEN k = 1 THEN '' ELSE falt END AS img_alt, " +
+          "CASE WHEN k = 1 THEN '' ELSE fcap END AS caption " +
+          "FROM f WHERE k IN (0, 1, 2, 3) " +
+          "UNION ALL " +
+          "SELECT doc_id, cast(1 AS bigint), bsrc, '', '' " +
+          "FROM f WHERE k = 3"),
       "q85_quality_composite" ->
         ("WITH t AS (SELECT doc_id, lang, length(text) AS n_chars, " +
           "len(string_split_regex(text, '\\s+')) AS n_tokens, " +

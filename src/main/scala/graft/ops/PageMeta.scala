@@ -54,6 +54,8 @@ object PageMeta {
     private[ops] val meta = Query.compileUnion("meta")
     private[ops] val base = Query.compileUnion("base")
     private[ops] val img = Query.compileUnion("img")
+    private[ops] val figure = Query.compileUnion("figure")
+    private[ops] val figcaption = Query.compileUnion("figcaption")
   }
 
   /** Document BASE declaration (`<base href=...>`): the first `base`
@@ -323,6 +325,91 @@ object PageMeta {
         it.flatMap { case (id, html) => imagesOf(id, parseBytes(html), sels) }
       }
       .toDF("doc_id", "img_idx", "src", "alt", "srcset")
+  }
+
+  /** SOCIAL-CARD metadata (OpenGraph + Twitter cards) — the
+    * publisher-declared summary every caption/article pipeline mines
+    * first (og:image + og:title/description IS a curated image-text pair;
+    * og:type routes article vs video corpora): `meta[property="og:*"]`
+    * and `meta[name="twitter:*"]` scanned in DOCUMENT order with
+    * first-declaration-wins per property (scrapers and crawlers read them
+    * that way; a selector union would return part-order — same design as
+    * [[metaRefreshOf]]). Property matching is case-insensitive, values
+    * come entity-decoded from the attribute table. Pages declaring no
+    * card emit NOTHING (the common case at crawl scale — the output table
+    * is sparse).
+    */
+  def socialMetaOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): Option[(Long, String, String, String, String, String, String)] = {
+    var ogTitle, ogDesc, ogImage, ogUrl, ogType, twCard: String = null
+    Query.querySelectorAll(root, s.meta).foreach { m =>
+      val key = m.getAttribute("property").orElse(m.getAttribute("name"))
+        .map(_.toLowerCase).getOrElse("")
+      lazy val v = m.getAttribute("content").getOrElse("")
+      key match {
+        case "og:title" => if (ogTitle == null) ogTitle = v
+        case "og:description" => if (ogDesc == null) ogDesc = v
+        case "og:image" => if (ogImage == null) ogImage = v
+        case "og:url" => if (ogUrl == null) ogUrl = v
+        case "og:type" => if (ogType == null) ogType = v
+        case "twitter:card" => if (twCard == null) twCard = v
+        case _ =>
+      }
+    }
+    if (ogTitle == null && ogDesc == null && ogImage == null &&
+      ogUrl == null && ogType == null && twCard == null) None
+    else Some((id, Option(ogTitle).getOrElse(""), Option(ogDesc).getOrElse(""),
+      Option(ogImage).getOrElse(""), Option(ogUrl).getOrElse(""),
+      Option(ogType).getOrElse(""), Option(twCard).getOrElse("")))
+  }
+
+  def socialMeta(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sels = new PageSelectors
+        it.flatMap { case (id, html) => socialMetaOf(id, parseBytes(html), sels) }
+      }
+      .toDF("doc_id", "og_title", "og_description", "og_image", "og_url",
+        "og_type", "twitter_card")
+  }
+
+  /** IMAGE-CAPTION pairs from semantic figure markup — the richest
+    * publisher-authored caption signal a page carries (`alt` text is
+    * accessibility metadata; `figcaption` is an editorial caption):
+    * one row per `figure` that contains an `img`, with the FIRST
+    * descendant img's src/alt and the FIRST descendant figcaption's
+    * entity-decoded text ("" when the figure has no caption). Figures
+    * without an img (code listings, quotes) emit nothing. Document
+    * order; same map-only kernel shape; src resolution composes with
+    * [[graft.ops.UrlOps.resolveUrl]]/[[graft.ops.UrlOps.documentBase]]
+    * downstream like every url here.
+    */
+  def captionsOf(id: Long, root: graft.kernel.Element,
+      s: PageSelectors): Seq[(Long, Int, String, String, String)] =
+    Query.querySelectorAll(root, s.figure).iterator.flatMap { fig =>
+      Query.querySelector(fig, s.img).map { img =>
+        val caption = Query.querySelector(fig, s.figcaption)
+          .map(_.text).getOrElse("")
+        (img.getAttribute("src").getOrElse(""),
+          img.getAttribute("alt").getOrElse(""), caption)
+      }
+    }.zipWithIndex.map { case ((src, alt, cap), i) =>
+      (id, i, src, alt, cap)
+    }.toSeq
+
+  def captions(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val sels = new PageSelectors
+        it.flatMap { case (id, html) => captionsOf(id, parseBytes(html), sels) }
+      }
+      .toDF("doc_id", "fig_idx", "img_src", "img_alt", "caption")
   }
 
   /** hreflang ALTERNATES — the multilingual-corpus construction signal:

@@ -194,6 +194,12 @@ class CorpusSpec extends AnyFunSuite {
           .map(a => a._3 + "=" + a._4) == alts, s"$name alternates")
         assert(graft.ops.PageMeta.metaRefreshOf(0L, root, sels).isEmpty,
           s"$name meta refresh false positive")
+        // none of the corpus pages declares a social card or semantic
+        // figure markup — pins no false positives on real HTML (round 5)
+        assert(graft.ops.PageMeta.socialMetaOf(0L, root, sels).isEmpty,
+          s"$name social-card false positive")
+        assert(graft.ops.PageMeta.captionsOf(0L, root, sels).isEmpty,
+          s"$name figure-caption false positive")
       }
     }
   }

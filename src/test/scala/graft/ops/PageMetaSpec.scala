@@ -168,6 +168,36 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2, "/c.png", "", "")))
   }
 
+  test("socialMeta: first declaration wins, case-insensitive keys, silent pages emit nothing") {
+    val rows = PageMeta.socialMeta(pagesOfMany(Seq(
+      1L -> ("<head><meta property=\"og:title\" content=\"First\">" +
+        "<meta property=\"OG:TITLE\" content=\"Second\">" +
+        "<meta name=\"twitter:card\" content=\"summary_large_image\">" +
+        "<meta property=\"og:image\" content=\"https://x/i.png\"></head>"),
+      2L -> "<head><meta name=\"viewport\" content=\"width=device-width\"></head>",
+      3L -> "<head><meta property=\"og:description\" content=\"A &amp; B\"></head>")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == 2) // page 2 declares no card: no row
+    assert(rows(1L).getAs[String]("og_title") == "First")
+    assert(rows(1L).getAs[String]("twitter_card") == "summary_large_image")
+    assert(rows(1L).getAs[String]("og_image") == "https://x/i.png")
+    assert(rows(1L).getAs[String]("og_url") == "")
+    assert(rows(3L).getAs[String]("og_description") == "A & B") // decoded
+  }
+
+  test("captions: figure->img+figcaption pairs; imgless figures skipped; caption optional") {
+    val rows = PageMeta.captions(pagesOf(
+      "<figure><pre>no img</pre></figure>" +
+        "<figure><img src=\"/a.png\" alt=\"one\">" +
+        "<figcaption>Caption &amp; one</figcaption></figure>" +
+        "<figure><img src=\"/b.png\"></figure>"))
+      .collect().map(r => (r.getAs[Int]("fig_idx"), r.getAs[String]("img_src"),
+        r.getAs[String]("img_alt"), r.getAs[String]("caption")))
+    assert(rows.toSeq == Seq(
+      (0, "/a.png", "one", "Caption & one"),
+      (1, "/b.png", "", "")))
+  }
+
   test("alternates: hreflang/href pairs in order; stylesheet and href-less skipped") {
     val rows = PageMeta.alternates(pagesOf(
       "<head><link rel=\"alternate\" hreflang=\"en\" href=\"https://e/en\">" +
