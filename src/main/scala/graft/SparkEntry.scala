@@ -1314,6 +1314,59 @@ object SparkEntry {
           col("img_src"), col("img_alt"), col("caption"))
     }),
 
+    "q92_stream_sessions" -> ((s, dir) => {
+      // the SECOND stateful streaming path under the cross-engine gate
+      // (q89 gates crawl delta): event-time host sessionization through a
+      // real flatMapGroupsWithState + watermark run. Construction: host =
+      // doc_id%20, rank k = doc_id/20, event minute = 2k (+20 once k>=3)
+      // — so each host's batch-1 events split into an INTRA-BATCH session
+      // (ranks 0..2, emitted by the in-batch gap logic the moment the
+      // batch processes) and an open tail session that only the
+      // EVENT-TIME TIMEOUT can flush; a far-future sentinel event then
+      // advances the watermark past every timeout. Both emission paths —
+      // in-batch split AND state timeout — land in the output, and the
+      // oracle rebuilds every session (docs, bytes, start/end epochs)
+      // from doc_id arithmetic. The sentinel's own session stays open and
+      // must NOT emit. Driver-side MemoryStream = test-harness device, as
+      // in q89; the production path is readStream.
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val t0 = 1704067200L // 2024-01-01 00:00:00 UTC
+      val ids = docs(s, dir).select(col("doc_id")).as[Long].collect().sorted
+      def pageOf(id: Long): graft.pipeline.Page = {
+        val minute = 2 * (id / 20) + (if (id / 20 >= 3) 20L else 0L)
+        graft.pipeline.Page(s"https://h${id % 20}.example/p$id",
+          new java.sql.Timestamp((t0 + minute * 60) * 1000L),
+          s"<p>x$id</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          null, "en")
+      }
+      val sentinel = graft.pipeline.Page("https://sentinel.example/z",
+        new java.sql.Timestamp((t0 + 2000 * 60) * 1000L),
+        "<p>s</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        null, "en")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[graft.pipeline.Page]
+      val qname = "q92_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val stream = graft.streaming.ExtractStream.hostSessions(
+        graft.streaming.ExtractStream.run(input.toDF()), gapMs = 600000L)
+        .toDF()
+        .writeStream.format("memory").queryName(qname)
+        .outputMode("append").start()
+      try {
+        input.addData(ids.map(pageOf).toSeq: _*); stream.processAllAvailable()
+        input.addData(sentinel); stream.processAllAvailable()
+      } finally stream.stop()
+      val out = s.table(qname)
+        .select(col("host"), col("docs"), col("errors"), col("bytes"),
+          unix_timestamp(col("start_ts")).as("start_epoch"),
+          unix_timestamp(col("end_ts")).as("end_epoch"))
+        .as[(String, Long, Long, Long, Long, Long)].collect()
+      s.catalog.dropTempView(qname)
+      out.toSeq.toDF("host", "docs", "errors", "bytes",
+        "start_epoch", "end_epoch")
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2092,6 +2145,23 @@ object SparkEntry {
           "UNION ALL " +
           "SELECT concat('u/', doc_id + 1000000000), 'new', md5(text) " +
           "FROM documents WHERE doc_id % 8 = 0"),
+      "q92_stream_sessions" ->
+        // sessions rebuilt from doc_id arithmetic: rank k = doc_id//20
+        // places ranks 0..2 at minutes 0/2/4 (session 1, flushed by the
+        // IN-BATCH gap split) and ranks >= 3 at minutes 26,28,… (session
+        // 2, flushed by the event-time TIMEOUT after the sentinel batch);
+        // bytes = per-doc html byte length 8 + digits(doc_id)
+        ("WITH d AS (SELECT doc_id, doc_id % 20 AS h, doc_id // 20 AS k " +
+          "FROM documents), " +
+          "s AS (SELECT doc_id, h, " +
+          "CASE WHEN k >= 3 THEN 2 ELSE 1 END AS sess, " +
+          "2 * k + CASE WHEN k >= 3 THEN 20 ELSE 0 END AS m FROM d) " +
+          "SELECT concat('h', h, '.example') AS host, " +
+          "count(*) AS docs, cast(0 AS bigint) AS errors, " +
+          "cast(sum(8 + length(cast(doc_id AS varchar))) AS bigint) AS bytes, " +
+          "cast(1704067200 + min(m) * 60 AS bigint) AS start_epoch, " +
+          "cast(1704067200 + max(m) * 60 AS bigint) AS end_epoch " +
+          "FROM s GROUP BY h, sess"),
       "q90_social_meta" ->
         ("SELECT doc_id, concat('T & ', doc_id) AS og_title, " +
           "concat('D ', doc_id) AS og_description, " +
