@@ -1367,6 +1367,36 @@ object SparkEntry {
         "start_epoch", "end_epoch")
     }),
 
+    "q93_media_sources" -> ((s, dir) => {
+      // multimodal URL table: doc_id%4==0 a video with its own src plus a
+      // webm source; %4==1 an audio with TWO sources (no self src);
+      // %4==2 a picture with srcset-carrying sources (media query + MIME
+      // type ride along; the img fallback belongs to q87, NOT here);
+      // %4==3 no media at all. Document-ordered indexes; the oracle
+      // rebuilds every row from doc_id arithmetic.
+      val video = concat(lit("<video src=\"/v/"), col("doc_id"),
+        lit(".mp4\"><source src=\"/v/"), col("doc_id"),
+        lit(".webm\" type=\"video/webm\"></video>"))
+      val audio = concat(lit("<audio><source src=\"/a/"), col("doc_id"),
+        lit(".ogg\" type=\"audio/ogg\"><source src=\"/a/"), col("doc_id"),
+        lit(".mp3\" type=\"audio/mpeg\"></audio>"))
+      val picture = concat(lit("<picture><source srcset=\"/p/"), col("doc_id"),
+        lit("-w.avif 800w\" media=\"(min-width: 600px)\" type=\"image/avif\">"),
+        lit("<source srcset=\"/p/"), col("doc_id"),
+        lit(".webp\" type=\"image/webp\"><img src=\"/p/"), col("doc_id"),
+        lit(".jpg\"></picture>"))
+      val body = when(col("doc_id") % 4 === 0, video)
+        .when(col("doc_id") % 4 === 1, audio)
+        .when(col("doc_id") % 4 === 2, picture)
+        .otherwise(lit("<p>no media</p>"))
+      val page = concat(lit("<body>"), body, lit("</body>"))
+      graft.ops.PageMeta.mediaSources(
+        docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+        .select(col("doc_id"), col("media_idx").cast("long").as("media_idx"),
+          col("item_idx").cast("long").as("item_idx"), col("tag"),
+          col("kind"), col("url"), col("media"), col("mime"))
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2162,6 +2192,31 @@ object SparkEntry {
           "cast(1704067200 + min(m) * 60 AS bigint) AS start_epoch, " +
           "cast(1704067200 + max(m) * 60 AS bigint) AS end_epoch " +
           "FROM s GROUP BY h, sess"),
+      "q93_media_sources" ->
+        ("SELECT doc_id, cast(0 AS bigint) AS media_idx, " +
+          "cast(0 AS bigint) AS item_idx, 'video' AS tag, 'self' AS kind, " +
+          "concat('/v/', doc_id, '.mp4') AS url, '' AS media, '' AS mime " +
+          "FROM documents WHERE doc_id % 4 = 0 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, 1, 'video', 'source', " +
+          "concat('/v/', doc_id, '.webm'), '', 'video/webm' " +
+          "FROM documents WHERE doc_id % 4 = 0 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, 0, 'audio', 'source', " +
+          "concat('/a/', doc_id, '.ogg'), '', 'audio/ogg' " +
+          "FROM documents WHERE doc_id % 4 = 1 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, 1, 'audio', 'source', " +
+          "concat('/a/', doc_id, '.mp3'), '', 'audio/mpeg' " +
+          "FROM documents WHERE doc_id % 4 = 1 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, 0, 'picture', 'source', " +
+          "concat('/p/', doc_id, '-w.avif 800w'), '(min-width: 600px)', 'image/avif' " +
+          "FROM documents WHERE doc_id % 4 = 2 " +
+          "UNION ALL " +
+          "SELECT doc_id, 0, 1, 'picture', 'source', " +
+          "concat('/p/', doc_id, '.webp'), '', 'image/webp' " +
+          "FROM documents WHERE doc_id % 4 = 2"),
       "q90_social_meta" ->
         ("SELECT doc_id, concat('T & ', doc_id) AS og_title, " +
           "concat('D ', doc_id) AS og_description, " +

@@ -412,6 +412,72 @@ object PageMeta {
       .toDF("doc_id", "fig_idx", "img_src", "img_alt", "caption")
   }
 
+  /** MEDIA-SOURCE extraction (`video` / `audio` / `picture`) — the URL
+    * table a multimodal corpus fetch starts from: one row per media
+    * element's own `src` (kind "self") and per direct `source` child
+    * (kind "source", carrying its media query and MIME type; a source's
+    * `srcset` — the picture form — is normalized through [[parseSrcset]]
+    * exactly like [[images]]). Elements walk in strict DOCUMENT order via
+    * one iterative DFS (a selector union of three tags would return
+    * part-order); nested media (fallback content inside `video`) emit as
+    * their own elements. `img` fallbacks inside `picture` belong to
+    * [[images]], not here. Map-only, composes with the byte-histogram /
+    * frame-sampling multimodal ops by joining fetched payloads on the
+    * resolved url.
+    */
+  def mediaSourcesOf(id: Long, root: graft.kernel.Element): Seq[(Long, Int, Int, String, String, String, String, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, Int, String, String, String, String, String)]
+    val stack = new scala.collection.mutable.ArrayBuffer[graft.kernel.Element](32)
+    stack += root
+    var mIdx = 0
+    while (stack.nonEmpty) {
+      val e = stack.remove(stack.length - 1)
+      val t = e.tagName.toLowerCase
+      if (t == "video" || t == "audio" || t == "picture") {
+        var item = 0
+        e.getAttribute("src").foreach { src =>
+          out += ((id, mIdx, item, t, "self", src, "", ""))
+          item += 1
+        }
+        e.childNodes.foreach {
+          case c: graft.kernel.Element if c.tagName.equalsIgnoreCase("source") =>
+            val url = c.getAttribute("src").orElse(
+              c.getAttribute("srcset").map(ss => parseSrcset(ss)
+                .map { case (u, d) => if (d.isEmpty) u else u + " " + d }
+                .mkString("|"))).getOrElse("")
+            out += ((id, mIdx, item, t, "source", url,
+              c.getAttribute("media").getOrElse(""),
+              c.getAttribute("type").getOrElse("")))
+            item += 1
+          case _ =>
+        }
+        mIdx += 1
+      }
+      var j = e.childNodes.length - 1
+      while (j >= 0) {
+        e.childNodes(j) match {
+          case c: graft.kernel.Element => stack += c
+          case _ =>
+        }
+        j -= 1
+      }
+    }
+    out.toSeq
+  }
+
+  def mediaSources(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(col("doc_id").cast("long"), col("html"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, html) => mediaSourcesOf(id, parseBytes(html)) }
+      }
+      .toDF("doc_id", "media_idx", "item_idx", "tag", "kind", "url",
+        "media", "mime")
+  }
+
   /** hreflang ALTERNATES — the multilingual-corpus construction signal:
     * `<link rel="alternate" hreflang=".." href="..">` clusters the same
     * logical document across languages (parallel-text mining, per-language

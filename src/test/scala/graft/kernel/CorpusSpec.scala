@@ -200,6 +200,8 @@ class CorpusSpec extends AnyFunSuite {
           s"$name social-card false positive")
         assert(graft.ops.PageMeta.captionsOf(0L, root, sels).isEmpty,
           s"$name figure-caption false positive")
+        assert(graft.ops.PageMeta.mediaSourcesOf(0L, root).isEmpty,
+          s"$name media-source false positive")
       }
     }
   }

@@ -198,6 +198,25 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1, "/b.png", "", "")))
   }
 
+  test("mediaSources: self src + source children, srcset normalization, document order, nested media") {
+    val rows = PageMeta.mediaSources(pagesOf(
+      "<video src=\"/v.mp4\" poster=\"/p.jpg\">" +
+        "<source src=\"/v.webm\" type=\"video/webm\">" +
+        "<p>fallback <audio><source src=\"/nested.ogg\"></audio></p></video>" +
+        "<picture><source srcset=\"a.avif 1x, b.avif 2x\" type=\"image/avif\">" +
+        "<img src=\"/fallback.jpg\"></picture>"))
+      .collect().map(r => (r.getAs[Int]("media_idx"), r.getAs[Int]("item_idx"),
+        r.getAs[String]("tag"), r.getAs[String]("kind"), r.getAs[String]("url"),
+        r.getAs[String]("mime")))
+    assert(rows.toSeq == Seq(
+      (0, 0, "video", "self", "/v.mp4", ""),
+      (0, 1, "video", "source", "/v.webm", "video/webm"),
+      (1, 0, "audio", "source", "/nested.ogg", ""), // nested media: its own element
+      (2, 0, "picture", "source", "a.avif 1x|b.avif 2x", "image/avif")))
+    // the picture's img FALLBACK belongs to images(), not mediaSources
+    assert(!rows.exists(_._5.contains("fallback")))
+  }
+
   test("alternates: hreflang/href pairs in order; stylesheet and href-less skipped") {
     val rows = PageMeta.alternates(pagesOf(
       "<head><link rel=\"alternate\" hreflang=\"en\" href=\"https://e/en\">" +
