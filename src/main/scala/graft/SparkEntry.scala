@@ -1397,6 +1397,19 @@ object SparkEntry {
           col("kind"), col("url"), col("media"), col("mime"))
     }),
 
+    "q94_bpe_train" -> ((s, dir) =>
+      // the FULL iterated BPE training loop (q75 is one round's counting):
+      // corpus touched once for the vocabulary, then 8 argmax+rewrite
+      // rounds over the distinct-word table only — the distributed-BPE
+      // shape production trainers run. Oracle: an independent Python
+      // trainer's merge sequence, keyed by a vocabulary digest the SQL
+      // side recomputes from its own regexp-token view (any drift in
+      // tokenization, tie-break, or rewrite order misses the key or the
+      // hash).
+      graft.ops.TextAnalysis.bpeTrain(docs(s, dir), nMerges = 8, minCount = 5)
+        .select(col("merge_idx").cast("long").as("merge_idx"),
+          col("lhs"), col("rhs"), col("pair_count"))),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2192,6 +2205,17 @@ object SparkEntry {
           "cast(1704067200 + min(m) * 60 AS bigint) AS start_epoch, " +
           "cast(1704067200 + max(m) * 60 AS bigint) AS end_epoch " +
           "FROM s GROUP BY h, sess"),
+      "q94_bpe_train" ->
+        ("WITH tok AS (SELECT unnest(regexp_extract_all(text, " +
+          "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+|\\s+')) AS token FROM documents), " +
+          "tc AS (SELECT token, count(*) AS n FROM tok " +
+          "WHERE NOT regexp_matches(token, '^\\s+$') " +
+          "GROUP BY token HAVING count(*) >= 5), " +
+          "k AS (SELECT md5(string_agg(concat(token, ':', n), '|' ORDER BY token)) AS corpus_md5 FROM tc) " +
+          "SELECT cast(f.merge_idx AS bigint) AS merge_idx, f.lhs, f.rhs, " +
+          "f.pair_count " +
+          "FROM '/root/repo/tools/fixtures/bpe_merges_expected.parquet' f, k " +
+          "WHERE f.corpus_md5 = k.corpus_md5"),
       "q93_media_sources" ->
         ("SELECT doc_id, cast(0 AS bigint) AS media_idx, " +
           "cast(0 AS bigint) AS item_idx, 'video' AS tag, 'self' AS kind, " +

@@ -305,6 +305,67 @@ object TextAnalysis {
       .groupBy("pair").agg(sum(col("n")).as("n"))
       .filter(col("n") >= minCount)
 
+  /** Full BPE TRAINING loop — iterated merges, the actual tokenizer-
+    * training algorithm ([[bpePairCounts]] is one round's counting): the
+    * corpus is touched ONCE ([[vocabulary]] — explode + map-side agg);
+    * every round after that runs over the DISTINCT-WORD table only (words
+    * as symbol sequences weighted by corpus frequency): count adjacent
+    * pairs, take the argmax (count desc, then lexicographically smallest
+    * pair — deterministic, hash-gateable), rewrite every word's symbols
+    * left-to-right non-overlapping, repeat. Stops early when the best
+    * pair occurs once (merging singletons learns nothing).
+    *
+    * Scale shape: rounds are vocab-table jobs (millions of rows at web
+    * scale, never the corpus), each a map-side-combined agg + a map-only
+    * rewrite with localCheckpoint lineage truncation (the q38 pattern).
+    * Production trainers run exactly this primitive; a 30k-merge run
+    * batches rounds, which composes from this same per-round operator.
+    * Returns the learned merge table (merge_idx, left, right,
+    * pair_count).
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int, minCount: Long = 1,
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = vocabulary(docs, minCount, textCol)
+      .as[(String, Long)]
+      .map { case (t, n) => (t.map(_.toString), n) }
+      .toDF("syms", "n")
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val top = vocab.filter(size(col("syms")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(syms) - 2), j -> " +
+            "struct(syms[j] AS l, syms[j + 1] AS r))")).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getAs[Long]("cnt") < 2) done = true
+      else {
+        val l = top.head.getAs[String]("l")
+        val r = top.head.getAs[String]("r")
+        merges += ((i, l, r, top.head.getAs[Long]("cnt")))
+        val mergeUdf = udf { (syms: Seq[String]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+              out += l + r; j += 2 // left-to-right, non-overlapping
+            } else { out += syms(j); j += 1 }
+          }
+          out.toSeq
+        }
+        vocab = vocab.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint()
+        i += 1
+      }
+    }
+    merges.toSeq.toDF("merge_idx", "lhs", "rhs", "pair_count")
+  }
+
   /** Benchmark DECONTAMINATION: for every training doc, how much of it
     * appears verbatim in a benchmark/eval set — measured as shared
     * winnowing fingerprints (robust to position shifts by construction;

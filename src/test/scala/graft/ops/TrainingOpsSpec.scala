@@ -202,6 +202,23 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("bpeTrain: argmax order, deterministic tie-break, non-overlapping rewrite, early stop") {
+    // vocab (minCount=1): 'abab' x4 dominates -> first merge (a,b) cnt 8
+    // (two occurrences per word x4); second merge pairs the new 'ab'
+    // symbol with itself: (ab, ab) cnt 4; then cnt<2 stops the loop early
+    // even though nMerges allows more
+    val out = TextAnalysis.bpeTrain(docsOf(
+      1L -> "abab abab abab abab zq"), nMerges = 10, minCount = 1)
+      .collect().map(r => (r.getAs[Int]("merge_idx"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("pair_count")))
+    assert(out.length >= 2)
+    assert(out(0) == ((0, "a", "b", 8L)))
+    assert(out(1) == ((1, "ab", "ab", 4L)))
+    // every learned merge was seen at least twice; indexes are dense
+    assert(out.forall(_._4 >= 2L))
+    assert(out.map(_._1).toSeq == out.indices.toSeq)
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val out = TextAnalysis.nfcNormalize(docsOf(
       1L -> "café and Ångström", // decomposed

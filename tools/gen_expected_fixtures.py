@@ -135,6 +135,42 @@ def winnow_positions(hashes, guarantee=8):
     return out
 
 
+_BPEISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_train(vocab, n_merges):
+    """Independent BPE trainer over (token -> corpus count): iterated
+    argmax (count desc, then lexicographically smallest pair) + left-to-
+    right non-overlapping rewrite, stopping when the best pair count < 2.
+    Mirrors TextAnalysis.bpeTrain for the q94 corpus-keyed fixture."""
+    words = [([c for c in t], n) for t, n in vocab.items()]
+    merges = []
+    for idx in range(n_merges):
+        counts = {}
+        for syms, n in words:
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        (l, r), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((idx, l, r, cnt))
+        new_words = []
+        for syms, n in words:
+            out, j = [], 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            new_words.append((out, n))
+        words = new_words
+    return merges
+
+
 def mix64(z):
     z &= MASK
     z ^= z >> 33
@@ -362,6 +398,29 @@ def main():
     con.execute("CREATE TABLE zl(text_md5 VARCHAR, raw_len BIGINT, compressed_len BIGINT)")
     con.executemany("INSERT INTO zl VALUES (?, ?, ?)", zl_rows)
     con.execute(f"COPY zl TO '{outdir}/zlib_expected.parquet' (FORMAT PARQUET)")
+    # BPE merge sequences, keyed by a vocabulary digest the oracle
+    # recomputes from its own regexp-token view (the q50 construction):
+    # md5(string_agg(token:n, '|' ORDER BY token)), minCount=5, 8 merges
+    bpe_rows = []
+    for d in sfdirs:
+        p = f"{d}/documents.parquet"
+        if not os.path.exists(p):
+            continue
+        counts = {}
+        for (t,) in con.execute(f"SELECT text FROM '{p}'").fetchall():
+            for tok in re.findall(_BPEISH, t, re.ASCII):
+                if not re.fullmatch(r"\s+", tok, re.ASCII):
+                    counts[tok] = counts.get(tok, 0) + 1
+        vocab = {t: n for t, n in counts.items() if n >= 5}
+        key_src = "|".join("%s:%d" % (t, vocab[t]) for t in sorted(vocab))
+        corpus_md5 = hashlib.md5(key_src.encode()).hexdigest()
+        for idx, l, r, cnt in bpe_train(vocab, 8):
+            bpe_rows.append((corpus_md5, idx, l, r, cnt))
+    con.execute("CREATE TABLE bpe(corpus_md5 VARCHAR, merge_idx INT, "
+                "lhs VARCHAR, rhs VARCHAR, pair_count BIGINT)")
+    con.executemany("INSERT INTO bpe VALUES (?, ?, ?, ?, ?)", bpe_rows)
+    con.execute(f"COPY bpe TO '{outdir}/bpe_merges_expected.parquet' (FORMAT PARQUET)")
+
     # LSH ANN expected values, keyed by a corpus digest the oracle recomputes
     # from its own embeddings view (same count across SFs, different vectors)
     lsh_rows = []
