@@ -1410,6 +1410,48 @@ object SparkEntry {
         .select(col("merge_idx").cast("long").as("merge_idx"),
           col("lhs"), col("rhs"), col("pair_count"))),
 
+    "q95_image_pipeline" -> ((s, dir) => {
+      // the interleaved image-text pipeline END TO END: kernel img
+      // extraction (q87's op) → RFC 3986 src resolution → fetch-join on
+      // the resolved url (the synthetic fetch keys payloads by exactly
+      // that url — a wrong resolver or srcset parser breaks the join) →
+      // REAL byte-histogram features over the payload (q37's op) →
+      // dominant-bin signal per image via the min-STRUCT argmax (no
+      // window over the url key). ASCII-pure docs only, q37's contract,
+      // so the oracle reconstructs exact counts.
+      val d = docs(s, dir)
+      val pageUrl = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+        lit(".example/dir/page.html"))
+      val page = concat(lit("<div><img src=\"/i/"), col("doc_id"),
+        lit(".png\" alt=\"alt "), col("doc_id"), lit("\"></div>"))
+      val imgs = graft.ops.PageMeta.images(
+        d.select(col("doc_id"), encode(page, "UTF-8").as("html")))
+      val resolved = imgs
+        .join(d.select(col("doc_id"), pageUrl.as("page_url")), "doc_id")
+        .select(col("doc_id"), col("alt"),
+          graft.ops.UrlOps.resolveUrl(col("page_url"), col("src")).as("img_url"))
+      val fetched = d
+        .filter(length(col("text")) === length(encode(col("text"), "UTF-8")) &&
+          length(col("text")) > 0)
+        .select(
+          concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+            lit(".example/i/"), col("doc_id"), lit(".png")).as("img_url"),
+          encode(col("text"), "UTF-8").as("payload"),
+          length(col("text")).cast("long").as("n_bytes"))
+      val feats = graft.ops.Multimodal.byteHistogramFeatures(fetched, bins = 64)
+        .select(col("img_url"), col("n_bytes"),
+          posexplode(col("features")).as(Seq("bin", "frac")))
+        .filter(col("frac") > 0f)
+        .select(col("img_url"), col("n_bytes"), col("bin"),
+          round(col("frac") * col("n_bytes")).cast("long").as("cnt"))
+        .groupBy("img_url", "n_bytes")
+        .agg(min(struct((-col("cnt")).as("neg"), col("bin"))).as("top"))
+      resolved.join(feats, "img_url")
+        .select(col("doc_id"), col("img_url"), col("alt"), col("n_bytes"),
+          col("top.bin").as("top_bin"),
+          (-col("top.neg")).cast("long").as("top_cnt"))
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2205,6 +2247,21 @@ object SparkEntry {
           "cast(1704067200 + min(m) * 60 AS bigint) AS start_epoch, " +
           "cast(1704067200 + max(m) * 60 AS bigint) AS end_epoch " +
           "FROM s GROUP BY h, sess"),
+      "q95_image_pipeline" ->
+        ("WITH d AS (SELECT doc_id, text FROM documents " +
+          "WHERE octet_length(cast(text AS blob)) = length(text) AND length(text) > 0), " +
+          "b AS (SELECT doc_id, ascii(substr(text, cast(i AS int), 1)) // 4 AS bin " +
+          "FROM d, unnest(range(1, length(text) + 1)) AS t(i)), " +
+          "c AS (SELECT doc_id, bin, count(*) AS cnt FROM b GROUP BY 1, 2), " +
+          "top AS (SELECT doc_id, bin, cnt FROM " +
+          "(SELECT doc_id, bin, cnt, row_number() OVER " +
+          "(PARTITION BY doc_id ORDER BY cnt DESC, bin) AS rk FROM c) WHERE rk = 1) " +
+          "SELECT d.doc_id, " +
+          "concat('https://h', d.doc_id % 20, '.example/i/', d.doc_id, '.png') AS img_url, " +
+          "concat('alt ', d.doc_id) AS alt, " +
+          "cast(length(d.text) AS bigint) AS n_bytes, " +
+          "t.bin AS top_bin, cast(t.cnt AS bigint) AS top_cnt " +
+          "FROM d JOIN top t USING (doc_id)"),
       "q94_bpe_train" ->
         ("WITH tok AS (SELECT unnest(regexp_extract_all(text, " +
           "'[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+|\\s+')) AS token FROM documents), " +
