@@ -1340,8 +1340,13 @@ object SparkEntry {
           s"<p>x$id</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8),
           null, "en")
       }
+      // sentinel DERIVED from the corpus: it must advance the watermark
+      // past every session's timeout (last event minute + gap 10 + the
+      // 10-minute watermark delay) at ANY scale factor — a constant here
+      // would silently stop flushing session-2 state on a larger corpus
+      val maxMinute = 2 * (ids.max / 20) + 20
       val sentinel = graft.pipeline.Page("https://sentinel.example/z",
-        new java.sql.Timestamp((t0 + 2000 * 60) * 1000L),
+        new java.sql.Timestamp((t0 + (maxMinute + 40) * 60) * 1000L),
         "<p>s</p>".getBytes(java.nio.charset.StandardCharsets.UTF_8),
         null, "en")
       val input = org.apache.spark.sql.execution.streaming.runtime
@@ -1419,7 +1424,12 @@ object SparkEntry {
       // dominant-bin signal per image via the min-STRUCT argmax (no
       // window over the url key). ASCII-pure docs only, q37's contract,
       // so the oracle reconstructs exact counts.
+      // ONE ascii filter feeds both branches: the inner join on img_url
+      // would drop non-ASCII docs anyway — parsing + resolving their
+      // pages first would be pure wasted kernel work
       val d = docs(s, dir)
+        .filter(length(col("text")) === length(encode(col("text"), "UTF-8")) &&
+          length(col("text")) > 0)
       val pageUrl = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
         lit(".example/dir/page.html"))
       val page = concat(lit("<div><img src=\"/i/"), col("doc_id"),
@@ -1431,8 +1441,6 @@ object SparkEntry {
         .select(col("doc_id"), col("alt"),
           graft.ops.UrlOps.resolveUrl(col("page_url"), col("src")).as("img_url"))
       val fetched = d
-        .filter(length(col("text")) === length(encode(col("text"), "UTF-8")) &&
-          length(col("text")) > 0)
         .select(
           concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
             lit(".example/i/"), col("doc_id"), lit(".png")).as("img_url"),

@@ -388,17 +388,31 @@ object PageMeta {
     * downstream like every url here.
     */
   def captionsOf(id: Long, root: graft.kernel.Element,
-      s: PageSelectors): Seq[(Long, Int, String, String, String)] =
+      s: PageSelectors): Seq[(Long, Int, String, String, String)] = {
+    // ownership: a node belongs to the figure that is its NEAREST figure
+    // ancestor — nested galleries (<figure><figcaption>Gallery</figcaption>
+    // <figure><img…><figcaption>Photo</figcaption></figure></figure>)
+    // must pair the img with ITS caption once, not also hand it to the
+    // outer figure with the gallery caption
+    def ownedBy(node: graft.kernel.Element, fig: graft.kernel.Element): Boolean = {
+      var p = node.parentNode
+      while (p != null && p != fig) {
+        if (p.tagName.equalsIgnoreCase("figure")) return false
+        p = p.parentNode
+      }
+      p == fig
+    }
     Query.querySelectorAll(root, s.figure).iterator.flatMap { fig =>
-      Query.querySelector(fig, s.img).map { img =>
-        val caption = Query.querySelector(fig, s.figcaption)
-          .map(_.text).getOrElse("")
+      Query.querySelectorAll(fig, s.img).find(ownedBy(_, fig)).map { img =>
+        val caption = Query.querySelectorAll(fig, s.figcaption)
+          .find(ownedBy(_, fig)).map(_.text).getOrElse("")
         (img.getAttribute("src").getOrElse(""),
           img.getAttribute("alt").getOrElse(""), caption)
       }
     }.zipWithIndex.map { case ((src, alt, cap), i) =>
       (id, i, src, alt, cap)
     }.toSeq
+  }
 
   def captions(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession

@@ -327,9 +327,23 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // split by CODE POINTS, not UTF-16 units: a lone surrogate symbol from
+    // an astral char (emoji are routine in web corpora) would both diverge
+    // from the code-point-based Python oracle and get mangled by the
+    // UTF8String encoder (invalid UTF-8 → replacement char), silently
+    // collapsing distinct symbols
     var vocab = vocabulary(docs, minCount, textCol)
       .as[(String, Long)]
-      .map { case (t, n) => (t.map(_.toString), n) }
+      .map { case (t, n) =>
+        val syms = scala.collection.mutable.ArrayBuffer.empty[String]
+        var j = 0
+        while (j < t.length) {
+          val cp = t.codePointAt(j)
+          syms += new String(Character.toChars(cp))
+          j += Character.charCount(cp)
+        }
+        (syms.toSeq, n)
+      }
       .toDF("syms", "n")
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -359,7 +373,12 @@ object TextAnalysis {
           }
           out.toSeq
         }
+        // unpersist the PREVIOUS round's checkpoint once the new one is
+        // materialized — a 30k-merge production run would otherwise pin
+        // thousands of vocab-table copies in executor storage
+        val prev = vocab
         vocab = vocab.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint()
+        prev.unpersist()
         i += 1
       }
     }

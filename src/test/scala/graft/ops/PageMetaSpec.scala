@@ -185,6 +185,18 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(3L).getAs[String]("og_description") == "A & B") // decoded
   }
 
+  test("captions: nested figures pair each img with ITS caption, never the gallery's") {
+    val rows = PageMeta.captions(pagesOf(
+      "<figure><figcaption>Gallery</figcaption>" +
+        "<figure><img src=\"/a.png\"><figcaption>Photo A</figcaption></figure>" +
+        "<figure><img src=\"/b.png\"><figcaption>Photo B</figcaption></figure>" +
+        "</figure>"))
+      .collect().map(r => (r.getAs[String]("img_src"), r.getAs[String]("caption")))
+    // the outer gallery figure owns no img directly (both belong to their
+    // nearest figure ancestor) — exactly one row per photo, right caption
+    assert(rows.toSeq == Seq(("/a.png", "Photo A"), ("/b.png", "Photo B")))
+  }
+
   test("captions: figure->img+figcaption pairs; imgless figures skipped; caption optional") {
     val rows = PageMeta.captions(pagesOf(
       "<figure><pre>no img</pre></figure>" +
