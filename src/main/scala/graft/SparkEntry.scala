@@ -1460,6 +1460,24 @@ object SparkEntry {
           (-col("top.neg")).cast("long").as("top_cnt"))
     }),
 
+    "q96_chunking" -> ((s, dir) =>
+      // long-document splitting for pretraining/retrieval: sliding token
+      // windows (32-token chunks, stride 24 — overlap preserves context
+      // across cuts), pure Column end to end; the oracle rebuilds every
+      // chunk with list_slice over the same token convention
+      graft.ops.TextAnalysis.chunkDocs(docs(s, dir),
+        chunkTokens = 32, stride = 24)),
+
+    "q97_sequence_packing" -> ((s, dir) =>
+      // the GPT-style packed-dataset index: docs concatenate in doc_id
+      // order into a global token stream cut every 256 tokens; docs CROSS
+      // boundaries, one row per (doc × bin touched) with offset + count.
+      // The global exclusive prefix sum runs the scale-correct two-level
+      // way (grouped window + driver prefix over the tiny group table);
+      // the oracle computes the same cumsum with one SQL window — two
+      // different prefix-sum strategies must agree on every boundary.
+      graft.pipeline.TableIO.packSequences(docs(s, dir), binTokens = 256)),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2255,6 +2273,27 @@ object SparkEntry {
           "cast(1704067200 + min(m) * 60 AS bigint) AS start_epoch, " +
           "cast(1704067200 + max(m) * 60 AS bigint) AS end_epoch " +
           "FROM s GROUP BY h, sess"),
+      "q96_chunking" ->
+        ("WITH t AS (SELECT doc_id, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+          "FROM documents), " +
+          "n AS (SELECT doc_id, toks, len(toks) AS nt FROM t WHERE len(toks) > 0) " +
+          "SELECT doc_id, cast(k AS bigint) AS chunk_idx, " +
+          "array_to_string(list_slice(toks, k * 24 + 1, k * 24 + 32), ' ') AS chunk_text, " +
+          "cast(len(list_slice(toks, k * 24 + 1, k * 24 + 32)) AS bigint) AS n_tokens " +
+          "FROM n, unnest(range(0, (nt - 1) // 24 + 1)) AS r(k)"),
+      "q97_sequence_packing" ->
+        ("WITH t AS (SELECT doc_id, " +
+          "cast(len(list_filter(string_split(text, ' '), x -> x <> '')) AS bigint) AS n " +
+          "FROM documents), " +
+          "c AS (SELECT doc_id, n, cast(coalesce(sum(n) OVER " +
+          "(ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bigint) AS cb " +
+          "FROM t) " +
+          "SELECT cast(b AS bigint) AS bin, doc_id, " +
+          "greatest(cb - b * 256, 0) AS bin_offset, " +
+          "least((b + 1) * 256, cb + n) - greatest(b * 256, cb) AS n_toks_in_bin " +
+          "FROM c, unnest(range(cb // 256, (cb + n - 1) // 256 + 1)) AS r(b) " +
+          "WHERE n > 0"),
       "q95_image_pipeline" ->
         ("WITH d AS (SELECT doc_id, text FROM documents " +
           "WHERE octet_length(cast(text AS blob)) = length(text) AND length(text) > 0), " +

@@ -539,6 +539,33 @@ object TextAnalysis {
         col("x._3").cast("long").as("n_chars_removed"))
   }
 
+  /** Document CHUNKING — sliding token windows (chunk size + stride),
+    * the long-document splitter every pretraining / retrieval pipeline
+    * runs between cleaning and tokenization: chunk k covers tokens
+    * [k·stride, k·stride + chunkTokens); the last chunk may be short;
+    * empty docs emit nothing. Pure Column end to end (split + sequence +
+    * slice inside codegen) — map-only, no UDF, embarrassingly parallel.
+    * Tokens are the nonempty space-split words (the q85/q10 convention,
+    * so the oracle's `string_split` agrees exactly).
+    */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 128, stride: Int = 96,
+      textCol: String = "text"): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1, "chunkTokens and stride must be >= 1")
+    val toks = expr(s"filter(split($textCol, ' '), x -> x <> '')")
+    docs
+      .select(col("doc_id"), toks.as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__toks"),
+        explode(expr(s"sequence(0, cast(floor((__n - 1) / $stride) as int))"))
+          .as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        expr(s"array_join(slice(__toks, chunk_idx * $stride + 1, $chunkTokens), ' ')")
+          .as("chunk_text"),
+        expr(s"cast(size(slice(__toks, chunk_idx * $stride + 1, $chunkTokens)) as bigint)")
+          .as("n_tokens"))
+  }
+
   /** Corpus-TYPICALITY score: mean document frequency of a doc's tokens —
     * the cheap distribution-fit quality signal (OCR garbage, codes, and
     * boilerplate-free spam score LOW because their tokens appear in few

@@ -233,6 +233,56 @@ object TableIO {
     trainShards(docs, nShards, salt)
   }
 
+  /** SEQUENCE PACKING — the GPT-style packed-dataset layout: documents
+    * concatenate in doc_id order into one global token stream that is cut
+    * every `binTokens` tokens; documents CROSS cut boundaries, so the
+    * output is one row per (document × bin it touches) with the document's
+    * offset and token count inside that bin — exactly the index a packed
+    * pretraining loader consumes. Token counts are the nonempty
+    * space-split words (the chunkDocs/q10 convention).
+    *
+    * The global EXCLUSIVE PREFIX SUM is computed scale-correctly — no
+    * single-partition window: docs group by `doc_id / groupSize`,
+    * intra-group cumsum runs as a window PARTITIONED by group (bounded
+    * partitions), and the tiny group-total table (corpus/groupSize rows)
+    * takes its own exclusive prefix on the driver and joins back
+    * broadcast-style. Size `groupSize` so the group table stays
+    * driver-collectable (10^5–10^7; recurse the same pattern for corpora
+    * beyond groupSize × driver capacity).
+    */
+  def packSequences(docs: DataFrame, binTokens: Long,
+      groupSize: Long = 4096, textCol: String = "text"): DataFrame = {
+    require(binTokens >= 1 && groupSize >= 1, "binTokens and groupSize must be >= 1")
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.select(col("doc_id"),
+      expr(s"cast(size(filter(split($textCol, ' '), x -> x <> '')) as bigint)")
+        .as("n_toks"),
+      expr(s"cast(doc_id as bigint) div $groupSize").as("grp")) // integer div — float division would lose precision past 2^53
+    val grpRows = t.groupBy("grp").agg(sum("n_toks").as("grp_toks"))
+      .orderBy("grp").collect()
+    var acc = 0L
+    val offsets = grpRows.map { r =>
+      val o = (r.getLong(0), acc); acc += r.getLong(1); o
+    }
+    import spark.implicits._
+    val offDf = offsets.toSeq.toDF("grp", "grp_off")
+    val w = Window.partitionBy("grp").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.join(broadcast(offDf), "grp")
+      .withColumn("cum_before",
+        coalesce(sum("n_toks").over(w), lit(0L)) + col("grp_off"))
+      .filter(col("n_toks") > 0)
+      .select(col("doc_id"), col("n_toks"), col("cum_before"),
+        explode(expr(s"sequence(cum_before div ${binTokens}L, " +
+          s"(cum_before + n_toks - 1) div ${binTokens}L)")).as("bin"))
+      .select(col("bin"), col("doc_id"),
+        greatest(col("cum_before") - col("bin") * binTokens, lit(0L))
+          .as("bin_offset"),
+        (least((col("bin") + 1) * binTokens, col("cum_before") + col("n_toks")) -
+          greatest(col("bin") * binTokens, col("cum_before"))).as("n_toks_in_bin"))
+  }
+
   /** Row-level resume: anti-join against already-committed urls. The
     * committed side is a skinny (url) projection; AQE broadcasts it when
     * small, else it runs as a shuffled anti-join.

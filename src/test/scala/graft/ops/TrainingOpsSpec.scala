@@ -219,6 +219,21 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_._1).toSeq == out.indices.toSeq)
   }
 
+  test("chunkDocs: overlap, short tail, empty docs emit nothing") {
+    val out = TextAnalysis.chunkDocs(docsOf(
+      1L -> "t1 t2 t3 t4 t5 t6 t7", // 7 toks, chunk 4 stride 3 → starts 0,3,6
+      2L -> "only two",
+      3L -> ""), chunkTokens = 4, stride = 3)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_idx"),
+        r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))
+      .sortBy(t => (t._1, t._2))
+    assert(out.toSeq == Seq(
+      (1L, 0L, "t1 t2 t3 t4", 4L),
+      (1L, 1L, "t4 t5 t6 t7", 4L), // overlap: t4 appears in both
+      (1L, 2L, "t7", 1L), // short tail
+      (2L, 0L, "only two", 2L)))
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val out = TextAnalysis.nfcNormalize(docsOf(
       1L -> "café and Ångström", // decomposed

@@ -183,6 +183,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("packSequences: boundary crossing, offsets, and group-size independence") {
+    import spark.implicits._
+    // doc 0: 3 toks, doc 1: 5 toks, doc 2: 6 toks, doc 3: 0 toks (skipped),
+    // doc 4: 2 toks; binTokens=4 → stream cuts at 4, 8, 12:
+    //   doc0 [0,3) bin0; doc1 [3,8) bins 0+1; doc2 [8,14) bins 2+3;
+    //   doc4 [14,16) bin3
+    val docs = Seq(
+      (0L, "a b c"), (1L, "d e f g h"), (2L, "i j k l m n"),
+      (3L, "   "), (4L, "o p")).toDF("doc_id", "text")
+    val rows = TableIO.packSequences(docs, binTokens = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == Seq(
+      (0L, 0L, 0L, 3L), (0L, 1L, 3L, 1L),
+      (1L, 1L, 0L, 4L),
+      (2L, 2L, 0L, 4L), (3L, 2L, 0L, 2L), (3L, 4L, 2L, 2L)))
+    // per-doc token counts reassemble exactly; per-bin fills never exceed B
+    assert(rows.groupBy(_._2).view.mapValues(_.map(_._4).sum).toMap ==
+      Map(0L -> 3L, 1L -> 5L, 2L -> 6L, 4L -> 2L))
+    assert(rows.groupBy(_._1).forall(_._2.map(_._4).sum <= 4L))
+    // the layout is INDEPENDENT of the prefix-sum grouping — the two-level
+    // sum must agree with itself at any groupSize (and with the oracle's
+    // single window, which q97 gates)
+    val g2 = TableIO.packSequences(docs, binTokens = 4, groupSize = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2))
+    assert(g2.toSeq == rows.toSeq)
+  }
+
   test("bucket metrics table is checkpointed and idempotent") {
     val dir = java.nio.file.Files.createTempDirectory("graft_metrics").toString
     TableIO.writeBucketMetrics(spark, dir,
