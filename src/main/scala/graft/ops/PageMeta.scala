@@ -393,26 +393,54 @@ object PageMeta {
     // ancestor — nested galleries (<figure><figcaption>Gallery</figcaption>
     // <figure><img…><figcaption>Photo</figcaption></figure></figure>)
     // must pair the img with ITS caption once, not also hand it to the
-    // outer figure with the gallery caption
-    def ownedBy(node: graft.kernel.Element, fig: graft.kernel.Element): Boolean = {
-      var p = node.parentNode
-      while (p != null && p != fig) {
-        if (p.tagName.equalsIgnoreCase("figure")) return false
-        p = p.parentNode
-      }
-      p == fig
+    // outer figure with the gallery caption. ONE iterative DFS with a
+    // figure-frame stack, O(doc) — per-figure subtree scans would go
+    // quadratic on pathologically nested figures; rows keep the FIGURE's
+    // document order (frames record their entry rank, output sorts by it)
+    final class Frame(val rank: Int) {
+      var img: graft.kernel.Element = null
+      var caption: String = null
     }
-    Query.querySelectorAll(root, s.figure).iterator.flatMap { fig =>
-      Query.querySelectorAll(fig, s.img).find(ownedBy(_, fig)).map { img =>
-        val caption = Query.querySelectorAll(fig, s.figcaption)
-          .find(ownedBy(_, fig)).map(_.text).getOrElse("")
-        (img.getAttribute("src").getOrElse(""),
-          img.getAttribute("alt").getOrElse(""), caption)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
+    val frames = new scala.collection.mutable.ArrayBuffer[Frame](8)
+    val stack = new scala.collection.mutable.ArrayBuffer[AnyRef](32)
+    stack += root
+    var rank = 0
+    while (stack.nonEmpty) {
+      stack.remove(stack.length - 1) match {
+        case e: graft.kernel.Element =>
+          val t = e.tagName
+          if (t.equalsIgnoreCase("figure")) {
+            frames += new Frame(rank); rank += 1
+            stack += FrameEnd
+          } else if (frames.nonEmpty) {
+            val f = frames(frames.length - 1)
+            if (t.equalsIgnoreCase("img")) { if (f.img == null) f.img = e }
+            else if (t.equalsIgnoreCase("figcaption")) {
+              if (f.caption == null) f.caption = e.text
+            }
+          }
+          var j = e.childNodes.length - 1
+          while (j >= 0) {
+            e.childNodes(j) match {
+              case c: graft.kernel.Element => stack += c
+              case _ =>
+            }
+            j -= 1
+          }
+        case _ => // FrameEnd: close the innermost figure
+          val f = frames.remove(frames.length - 1)
+          if (f.img != null)
+            out += ((f.rank, f.img.getAttribute("src").getOrElse(""),
+              f.img.getAttribute("alt").getOrElse(""),
+              Option(f.caption).getOrElse("")))
       }
-    }.zipWithIndex.map { case ((src, alt, cap), i) =>
-      (id, i, src, alt, cap)
+    }
+    out.sortBy(_._1).iterator.zipWithIndex.map {
+      case ((_, src, alt, cap), i) => (id, i, src, alt, cap)
     }.toSeq
   }
+  private object FrameEnd
 
   def captions(pages: DataFrame): DataFrame = {
     val spark = pages.sparkSession

@@ -260,8 +260,30 @@ class PageMetaSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(PageMeta.tableRowsOf(0L, root, sels).nonEmpty)
     assert(PageMeta.alternatesOf(0L, root, sels).nonEmpty)
     PageMeta.metaRefreshOf(0L, root, sels)
+    // round-5 extractors on the same probe
+    PageMeta.pageBaseOf(root, sels)
+    PageMeta.imagesOf(0L, root, sels)
+    PageMeta.socialMetaOf(0L, root, sels)
+    PageMeta.captionsOf(0L, root, sels)
+    PageMeta.mediaSourcesOf(0L, root)
     val sec = (System.nanoTime() - t0) / 1e9
     assert(sec < 20.0, s"deep extractors took $sec s — quadratic regression?")
+  }
+
+  test("captionsOf stays O(doc) on 20k-deep NESTED FIGURES (the quadratic trap)") {
+    // per-figure subtree scans would be O(doc²) here: 20k figures, each
+    // enclosing all deeper ones; the single-DFS frame stack must emit one
+    // row per img-bearing figure in figure document order
+    val depth = 20000
+    val deep = "<figure>" * depth + "<img src=\"/deep.png\">" + "</figure>" * depth
+    val t0 = System.nanoTime()
+    val rows = PageMeta.captionsOf(0L, graft.kernel.HtmlParser.parse(deep),
+      new PageMeta.PageSelectors)
+    val sec = (System.nanoTime() - t0) / 1e9
+    // only the INNERMOST figure owns the img (it is every outer figure's
+    // descendant but their nearest-figure-ancestor chain stops inside)
+    assert(rows.length == 1 && rows.head._3 == "/deep.png")
+    assert(sec < 5.0, s"nested-figure captions took $sec s — quadratic regression?")
   }
 
   test("metaRefresh: delay+url forms, quote styles, pure reload, first wins") {
