@@ -1478,6 +1478,17 @@ object SparkEntry {
       // different prefix-sum strategies must agree on every boundary.
       graft.pipeline.TableIO.packSequences(docs(s, dir), binTokens = 256)),
 
+    "q98_ngram_decontaminate" -> ((s, dir) =>
+      // GPT-3-style EXACT decontamination (13-gram verbatim overlap) —
+      // the complement to q51's winnowing fuzzy check: benchmark = every
+      // 9th doc's full text, so contaminated docs are exactly those
+      // sharing a verbatim 13-token sequence with one (themselves
+      // included — real eval leakage looks like this). Grams join on
+      // md5 (16-byte shuffle keys both engines compute identically).
+      graft.ops.TextAnalysis.ngramContamination(
+        docs(s, dir),
+        docs(s, dir).filter(col("doc_id") % 9 === 0), n = 13)),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2273,6 +2284,20 @@ object SparkEntry {
           "cast(1704067200 + min(m) * 60 AS bigint) AS start_epoch, " +
           "cast(1704067200 + max(m) * 60 AS bigint) AS end_epoch " +
           "FROM s GROUP BY h, sess"),
+      "q98_ngram_decontaminate" ->
+        ("WITH tok AS (SELECT doc_id, " +
+          "list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
+          "FROM documents), " +
+          "g AS (SELECT doc_id, " +
+          "array_to_string(list_slice(toks, i, i + 12), ' ') AS gram " +
+          "FROM tok, unnest(range(1, len(toks) - 11)) AS r(i) " +
+          "WHERE len(toks) >= 13), " +
+          "b AS (SELECT DISTINCT doc_id AS bench_id, gram FROM g " +
+          "WHERE doc_id % 9 = 0) " +
+          "SELECT g.doc_id, " +
+          "cast(count(DISTINCT g.gram) AS bigint) AS n_contaminated_grams, " +
+          "cast(count(DISTINCT b.bench_id) AS bigint) AS n_bench_docs " +
+          "FROM g JOIN b USING (gram) GROUP BY g.doc_id"),
       "q96_chunking" ->
         ("WITH t AS (SELECT doc_id, " +
           "list_filter(string_split(text, ' '), x -> x <> '') AS toks " +

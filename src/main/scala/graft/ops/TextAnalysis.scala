@@ -405,6 +405,41 @@ object TextAnalysis {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Word n-grams (space-token convention) as exploded rows — shared by
+    * [[ngramContamination]]; grams join on md5 (16-byte keys instead of
+    * arbitrarily long gram strings in the shuffle — the scale-smart key
+    * that both engines compute identically).
+    */
+  private def wordGrams(df: DataFrame, n: Int, idAlias: String,
+      textCol: String): DataFrame =
+    df.select(col("doc_id").as(idAlias),
+      expr(s"filter(split($textCol, ' '), x -> x <> '')").as("__toks"))
+      .withColumn("__m", size(col("__toks")) - (n - 1))
+      .filter(col("__m") >= 1)
+      .select(col(idAlias), explode(expr(
+        s"transform(sequence(1, __m), i -> md5(array_join(slice(__toks, i, $n), ' ')))"))
+        .as("gram"))
+
+  /** EXACT n-gram decontamination — the GPT-3-style recipe (13-gram
+    * verbatim overlap with the eval set) complementing [[contamination]]'s
+    * winnowing (position-robust fuzzy) check: any training doc sharing a
+    * full n-token word sequence with a benchmark doc is flagged with its
+    * distinct overlapping-gram count and how many benchmark docs it hits.
+    * Shape: explode → inner equi-join on the md5'd gram → per-doc agg;
+    * clean docs never shuffle past their own gram rows, and the benchmark
+    * side (eval sets are tiny vs the corpus) broadcasts at scale.
+    */
+  def ngramContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, "n must be >= 1")
+    val t = wordGrams(docs, n, "doc_id", textCol)
+    val b = wordGrams(benchmark, n, "bench_id", textCol).distinct()
+    t.join(b, "gram")
+      .groupBy("doc_id").agg(
+        countDistinct("gram").as("n_contaminated_grams"),
+        countDistinct("bench_id").as("n_bench_docs"))
+  }
+
   /** zlib COMPRESSION-RATIO quality signal (compressed/raw bytes): the
     * classic cheap repetitiveness detector — spam and template churn
     * compress far below prose (ratios ≲0.3 at prose lengths are a red

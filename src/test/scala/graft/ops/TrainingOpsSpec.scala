@@ -234,6 +234,22 @@ class TrainingOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (2L, 0L, "only two", 2L)))
   }
 
+  test("ngramContamination: verbatim n-token overlap flags, clean docs emit nothing") {
+    val passage = "one two three four five six seven" // 7 tokens
+    val out = TextAnalysis.ngramContamination(
+      docsOf(
+        1L -> ("prefix words here " + passage + " suffix tail"),
+        2L -> "totally unrelated content with no overlap at all whatsoever",
+        3L -> "short"),
+      docsOf(100L -> (passage + " and some benchmark padding")),
+      n = 7)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_contaminated_grams"), r.getAs[Long]("n_bench_docs")))
+    // doc 1 shares exactly the 7-gram passage (1 distinct gram, 1 bench doc);
+    // docs 2 (no overlap) and 3 (under n tokens) emit nothing
+    assert(out.toSeq == Seq((1L, 1L, 1L)))
+  }
+
   test("nfcNormalize composes decomposed sequences; NFC text passes through") {
     val out = TextAnalysis.nfcNormalize(docsOf(
       1L -> "café and Ångström", // decomposed
