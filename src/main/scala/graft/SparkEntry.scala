@@ -1489,6 +1489,52 @@ object SparkEntry {
         docs(s, dir),
         docs(s, dir).filter(col("doc_id") % 9 === 0), n = 13)),
 
+    "q99_parallel_pairs" -> ((s, dir) => {
+      // parallel-corpus mining END TO END: the q77 reciprocal-hreflang
+      // verification feeds the LENGTH-RATIO gate (translation pairs whose
+      // char lengths differ by more than 2x are mostly misalignments —
+      // the first filter every parallel-text miner runs): en text = the
+      // doc text; fr "translation" = the text + a small suffix (passes)
+      // EXCEPT every 5th doc, whose fr side is truncated to ~1/3 (ratio
+      // fails). Every 7th doc's pair already failed verification (no
+      // back-link) and must not appear at all. Output: verified pairs
+      // with both lengths, the exact ratio, and the keep decision.
+      val d = docs(s, dir)
+      val enPage = concat(
+        lit("<head><link rel=\"alternate\" hreflang=\"fr\" href=\"https://p.ex/fr/"),
+        col("doc_id"), lit("\"></head>"))
+      val frPage = concat(lit("<head>"),
+        when(col("doc_id") % 7 =!= 0,
+          concat(lit("<link rel=\"alternate\" hreflang=\"en\" href=\"https://p.ex/en/"),
+            col("doc_id"), lit("\">"))).otherwise(lit("")),
+        lit("</head>"))
+      val pages = d.select((col("doc_id") * 2).as("pid"),
+          concat(lit("https://p.ex/en/"), col("doc_id")).as("url"),
+          encode(enPage, "UTF-8").as("html"))
+        .unionAll(d.select((col("doc_id") * 2 + 1).as("pid"),
+          concat(lit("https://p.ex/fr/"), col("doc_id")).as("url"),
+          encode(frPage, "UTF-8").as("html")))
+      val alts = graft.ops.PageMeta.alternates(
+        pages.select(col("pid").as("doc_id"), col("html")))
+      val withUrl = alts
+        .join(pages.select(col("pid").as("doc_id"), col("url")), "doc_id")
+        .select("url", "hreflang", "href")
+      val pairs = graft.ops.PageMeta.reciprocalAlternates(withUrl)
+      val enText = d.select(concat(lit("https://p.ex/en/"), col("doc_id")).as("url1"),
+        col("text").as("en_text"))
+      val frText = d.select(concat(lit("https://p.ex/fr/"), col("doc_id")).as("url2"),
+        when(col("doc_id") % 5 === 0,
+          substring(col("text"), 1, 40)) // truncated "translation": ratio fails
+          .otherwise(concat(col("text"), lit(" fr"))).as("fr_text"))
+      pairs.join(enText, "url1").join(frText, "url2")
+        .select(col("url1"), col("url2"),
+          length(col("en_text")).cast("long").as("len1"),
+          length(col("fr_text")).cast("long").as("len2"))
+        .withColumn("len_ratio",
+          col("len1").cast("double") / col("len2").cast("double"))
+        .withColumn("keep", col("len_ratio") >= 0.5 && col("len_ratio") <= 2.0)
+    }),
+
     "q85_quality_composite" -> ((s, dir) => {
       // the FULL multi-signal quality filter in one pass (the Gopher-style
       // stack real pipelines run): length/punctuation stats + repetition
@@ -2284,6 +2330,16 @@ object SparkEntry {
           "cast(1704067200 + min(m) * 60 AS bigint) AS start_epoch, " +
           "cast(1704067200 + max(m) * 60 AS bigint) AS end_epoch " +
           "FROM s GROUP BY h, sess"),
+      "q99_parallel_pairs" ->
+        ("WITH p AS (SELECT doc_id, cast(length(text) AS bigint) AS len1, " +
+          "cast(CASE WHEN doc_id % 5 = 0 THEN length(substr(text, 1, 40)) " +
+          "ELSE length(text) + 3 END AS bigint) AS len2 " +
+          "FROM documents WHERE doc_id % 7 <> 0) " +
+          "SELECT concat('https://p.ex/en/', doc_id) AS url1, " +
+          "concat('https://p.ex/fr/', doc_id) AS url2, " +
+          "len1, len2, len1::double / len2 AS len_ratio, " +
+          "len1::double / len2 >= 0.5 AND len1::double / len2 <= 2.0 AS keep " +
+          "FROM p"),
       "q98_ngram_decontaminate" ->
         ("WITH tok AS (SELECT doc_id, " +
           "list_filter(string_split(text, ' '), x -> x <> '') AS toks " +
