@@ -33,6 +33,13 @@ object SoakMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // the replica offset assumes max(doc_id) < 10^7 — a bigger sfDir would
+    // silently mint colliding doc_ids/urls and void the zero-duplicate
+    // evidence, so fail loudly instead
+    val maxDocId = spark.read.parquet(s"$sfDir/documents.parquet")
+      .agg(max("doc_id")).head.getLong(0)
+    require(maxDocId < 10000000L,
+      s"SoakMain replica offset needs max(doc_id) < 1e7, got $maxDocId")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .withColumn("__r", explode(sequence(lit(0), lit(rep - 1))))
       .withColumn("doc_id", col("doc_id") + col("__r") * 10000000L)

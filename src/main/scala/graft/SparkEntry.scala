@@ -527,12 +527,19 @@ object SparkEntry {
         minChars = 60, minTokens = 12, maxPunctRatio = 0.3,
         minUniqRatio = 0.55, textCol = "text_out")
         .withColumn("fp", md5(encode(col("text_out"), "UTF-8")))
-      val canon = gated.groupBy("fp").agg(min("doc_id").as("doc_id"))
-      val kept = gated.join(canon, Seq("fp", "doc_id"))
-      kept.groupBy("lang").agg(
+      // the min-doc_id survivor per fp falls out of ONE min-STRUCT agg
+      // (doc_id leads the struct; ids are distinct within an fp group, so
+      // the min struct IS the canonical row with its metrics riding along)
+      // — the former groupBy(fp)+join-back re-parsed the whole crawl a
+      // second time for the join probe side and paid an extra exchange
+      val canon = gated
+        .groupBy("fp").agg(min(struct(col("doc_id"), col("lang"),
+          col("q_tokens"), length(col("text_out")).cast("long").as("n_chars")))
+          .as("r"))
+      canon.groupBy(col("r.lang").as("lang")).agg(
         count(lit(1)).as("docs"),
-        sum("q_tokens").as("n_tokens"),
-        sum(length(col("text_out")).cast("long")).as("n_chars"))
+        sum("r.q_tokens").as("n_tokens"),
+        sum("r.n_chars").as("n_chars"))
     }),
 
     "q45_quality_gate" -> ((s, dir) =>
@@ -596,7 +603,12 @@ object SparkEntry {
       // Both probes share ONE parse pass and ONE ancestor equi-join; the
       // per-probe distinct-descendant counts fall out of conditional
       // countDistinct over the joined rows.
+      // ONE kernel pass: the ancestor and descendant legs are two filters
+      // over the same node table — materialize the pruned projection once
+      // (lazy localCheckpoint) instead of exploding the DOM twice
       val nodes = ExtractJob.explodeNodes(pagesDf(s, dir)).toDF()
+        .select("doc_id", "node_idx", "tag", "classes", "ancestors")
+        .localCheckpoint(false)
       val anc = nodes.filter(col("tag").isin("ul", "div"))
         .select(col("doc_id"), col("node_idx").as("anc_idx"),
           col("tag").as("anc_tag"))
@@ -698,14 +710,27 @@ object SparkEntry {
         minChars = 60, minTokens = 12, maxPunctRatio = 0.3,
         minUniqRatio = 0.55, textCol = "text_out")
         .withColumn("fp", md5(encode(col("text_out"), "UTF-8")))
-      val sizes = gated.groupBy("fp").agg(count(lit(1)).as("n_same"))
-      gated.join(sizes, "fp")
+      // PRE-AGGREGATE to (fp, host) counts straight off the parse (map-side
+      // combined, text never shuffles), derive the per-fp dup sizes from
+      // that skinny table, and join the two aggregates — the former
+      // row-level sizes join-back re-ran the whole extraction for the
+      // probe side and shuffled every document row on the fp key. The
+      // pre-agg is materialized once (lazy localCheckpoint) so the sizes
+      // agg and the join share one parse.
+      val perFpHost = gated
         .withColumn("host", graft.ops.UrlOps.urlHost(col("url")))
+        .groupBy("fp", "host").agg(
+          count(lit(1)).as("cnt"),
+          sum(when(!col("parse_ok"), 1L).otherwise(0L)).as("p_err"),
+          sum(when(col("q_pass"), 1L).otherwise(0L)).as("p_pass"))
+        .localCheckpoint(false)
+      val sizes = perFpHost.groupBy("fp").agg(sum("cnt").as("n_same"))
+      perFpHost.join(sizes, "fp")
         .groupBy("host").agg(
-          count(lit(1)).as("n_docs"),
-          sum(when(!col("parse_ok"), 1L).otherwise(0L)).as("n_parse_err"),
-          sum(when(col("q_pass"), 1L).otherwise(0L)).as("n_q_pass"),
-          sum(when(col("n_same") > 1, 1L).otherwise(0L)).as("n_dup"))
+          sum("cnt").as("n_docs"),
+          sum("p_err").as("n_parse_err"),
+          sum("p_pass").as("n_q_pass"),
+          sum(when(col("n_same") > 1, col("cnt")).otherwise(0L)).as("n_dup"))
         .withColumn("q_pass_rate",
           col("n_q_pass").cast("double") / col("n_docs").cast("double"))
     }),
@@ -768,9 +793,13 @@ object SparkEntry {
       // first-occurrence line dedup strips them corpus-wide with NO
       // per-page heuristic — the corpus-level complement to q42's
       // kernel-side Boilerplate pass, composed extract → dedup
+      // ONE kernel pass: lineDedupNewline reads its input three times (line
+      // explode for the firsts agg, the join probe, and the doc_id spine) —
+      // materialize the skinny (doc_id, text_out) projection once instead
+      // of re-parsing the corpus per consumer
       val parsed = ExtractJob.run(pagesDf(s, dir)).toDF()
-      graft.ops.TextAnalysis.lineDedupNewline(
-        parsed.select(col("doc_id"), col("text_out")), textCol = "text_out")
+        .select(col("doc_id"), col("text_out")).localCheckpoint(false)
+      graft.ops.TextAnalysis.lineDedupNewline(parsed, textCol = "text_out")
     }),
 
     "q67_anchor_stats" -> ((s, dir) => {
@@ -867,10 +896,23 @@ object SparkEntry {
       val tbl = tempDirCleanedOnExit("graft_q71")
       val d = docs(s, dir)
         .withColumn(TableIO.BucketCol, pmod(col("doc_id"), lit(4)))
+      // ONE partitioned write lays out all four bucket directories in a
+      // single corpus pass (the former per-bucket writeBucket loop scanned
+      // the source four times and re-read each bucket for its row count —
+      // 8 jobs → 2); repartition on the bucket key first so each bucket
+      // commits as one well-sized file instead of one per scan task
+      // (guide §6 output sizing). The manifest/snapshot protocol is
+      // unchanged: data is fully written BEFORE the first commit, and the
+      // four manifests+snapshots still append in bucket order, so the
+      // snapshot log records the same incremental committed sets.
+      d.repartition(col(TableIO.BucketCol))
+        .write.partitionBy(TableIO.BucketCol).mode("overwrite").parquet(tbl)
+      val rows = s.read.parquet(tbl)
+        .groupBy(TableIO.BucketCol).count().collect()
+        .map(r => (r.getAs[Number](0).longValue, r.getLong(1))).toMap
       (0L to 3L).foreach { b =>
-        TableIO.writeBucket(
-          d.filter(col(TableIO.BucketCol) === b).drop(TableIO.BucketCol),
-          tbl, b)
+        TableIO.commitManifest(tbl, b, rows.getOrElse(b, 0L))
+        TableIO.appendSnapshot(tbl, b)
       }
       TableIO.readSnapshot(s, tbl, snapshotId = 3L)
         .select(col("doc_id"), col("lang"))
@@ -979,16 +1021,19 @@ object SparkEntry {
             col("doc_id"), lit("\">"))).otherwise(lit("")),
         lit("</head>"))
       val pages = d.select((col("doc_id") * 2).as("pid"),
-          concat(lit("https://p.ex/en/"), col("doc_id")).as("url"),
           encode(enPage, "UTF-8").as("html"))
         .unionAll(d.select((col("doc_id") * 2 + 1).as("pid"),
-          concat(lit("https://p.ex/fr/"), col("doc_id")).as("url"),
           encode(frPage, "UTF-8").as("html")))
       val alts = graft.ops.PageMeta.alternates(
         pages.select(col("pid").as("doc_id"), col("html")))
+      // the page url is PURE doc_id (pid) arithmetic — recompute it on the
+      // alternates rows instead of joining the pages table back (one
+      // corpus-wide equi-join removed; guide §2.4)
       val withUrl = alts
-        .join(pages.select(col("pid").as("doc_id"), col("url")), "doc_id")
-        .select("url", "hreflang", "href")
+        .select(concat(lit("https://p.ex/"),
+            when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("fr")),
+            lit("/"), expr("doc_id div 2")).as("url"),
+          col("hreflang"), col("href"))
       graft.ops.PageMeta.reciprocalAlternates(withUrl)
     }),
 
@@ -1006,9 +1051,6 @@ object SparkEntry {
       // The typed boundary between documentBase and resolveUrl is the
       // documented no-CSE HOF hazard (see UrlOps).
       import s.implicits._
-      val host = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
-        lit(".example"))
-      val baseUrl = concat(host, lit("/dir/sub/page.html"))
       val baseTag = when(col("doc_id") % 5 === 0,
           lit("<base href=\"https://b.example/bd/sub/\">"))
         .when(col("doc_id") % 5 === 1, lit("<base href=\"rel/\">"))
@@ -1028,10 +1070,14 @@ object SparkEntry {
         lit("</head><div><a href=\""), href, lit("\">x</a></div>"))
       val edges = graft.ops.PageMeta.outlinksWithBase(
         docs(s, dir).select(col("doc_id"), encode(page, "UTF-8").as("html")))
+      // base_url is PURE doc_id arithmetic — recompute it on the edge rows
+      // instead of joining the documents table back (one corpus-wide
+      // equi-join removed; the edge extraction stays map-only end to end)
       val withBase = edges
-        .join(docs(s, dir).select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
         .select(col("doc_id"), col("href"),
-          graft.ops.UrlOps.documentBase(col("base_url"), col("page_base"))
+          graft.ops.UrlOps.documentBase(
+            concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+              lit(".example/dir/sub/page.html")), col("page_base"))
             .as("eff_base"))
         .as[(Long, String, String)].mapPartitions(identity)
         .toDF("doc_id", "href", "eff_base")
@@ -1089,9 +1135,6 @@ object SparkEntry {
       // Five round-3/4 ops in one plan; every stage changes the result,
       // and the oracle recomputes all of them from doc_id arithmetic.
       val d = docs(s, dir)
-      val host = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
-        lit(".example"))
-      val baseUrl = concat(host, lit("/dir/page"), col("doc_id"), lit(".html"))
       val relTarget = concat(lit("../p"), (col("doc_id") * 7) % 200, lit(".html"))
       val absTarget = concat(lit("HTTP://H"), (col("doc_id") % 20).cast("string"),
         lit(".Example/q/"), col("doc_id") % 5)
@@ -1108,9 +1151,14 @@ object SparkEntry {
       // boundary materializes its url once per row. The frontier honors
       // <base href> (none declared in this synth — documentBase passes the
       // page url through — but the composition is the production path).
+      // base_url is PURE doc_id arithmetic — recompute it on the edge rows
+      // (q78's optimization): the documents join-back disappears and the
+      // extraction→resolution leg stays map-only
       val withBase = edges
-        .join(d.select(col("doc_id"), baseUrl.as("base_url")), "doc_id")
-        .select(graft.ops.UrlOps.documentBase(col("base_url"), col("page_base"))
+        .select(graft.ops.UrlOps.documentBase(
+            concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+              lit(".example/dir/page"), col("doc_id"), lit(".html")),
+            col("page_base"))
           .as("eff_base"), col("href"))
         .as[(String, String)].mapPartitions(identity).toDF("eff_base", "href")
       val resolved = withBase
@@ -1185,8 +1233,6 @@ object SparkEntry {
       // form). The oracle rebuilds every row from doc_id arithmetic — a
       // split-on-comma srcset parser hash-fails on the %4==3 class.
       val d = docs(s, dir)
-      val pageUrl = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
-        lit(".example/dir/page.html"))
       val srcset = when(col("doc_id") % 4 === 0, lit(""))
         .when(col("doc_id") % 4 === 1, lit(" srcset=\"a.png 1x, b.png 2x\""))
         .when(col("doc_id") % 4 === 2,
@@ -1200,10 +1246,14 @@ object SparkEntry {
         lit("</div>"))
       val imgs = graft.ops.PageMeta.images(
         d.select(col("doc_id"), encode(page, "UTF-8").as("html")))
-      imgs.join(d.select(col("doc_id"), pageUrl.as("page_url")), "doc_id")
-        .select(col("doc_id"), col("img_idx").cast("long").as("img_idx"),
+      // page_url is PURE doc_id arithmetic — recompute it on the img rows
+      // instead of joining the documents table back: extraction +
+      // resolution stay one map-only pass, zero exchanges
+      imgs.select(col("doc_id"), col("img_idx").cast("long").as("img_idx"),
           when(col("src") === "", lit(""))
-            .otherwise(graft.ops.UrlOps.resolveUrl(col("page_url"), col("src")))
+            .otherwise(graft.ops.UrlOps.resolveUrl(
+              concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+                lit(".example/dir/page.html")), col("src")))
             .as("src_resolved"),
           col("alt"), col("srcset"))
     }),
@@ -1430,16 +1480,18 @@ object SparkEntry {
       val d = docs(s, dir)
         .filter(length(col("text")) === length(encode(col("text"), "UTF-8")) &&
           length(col("text")) > 0)
-      val pageUrl = concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
-        lit(".example/dir/page.html"))
       val page = concat(lit("<div><img src=\"/i/"), col("doc_id"),
         lit(".png\" alt=\"alt "), col("doc_id"), lit("\"></div>"))
       val imgs = graft.ops.PageMeta.images(
         d.select(col("doc_id"), encode(page, "UTF-8").as("html")))
+      // page_url recomputed from doc_id arithmetic on the img rows (q87's
+      // optimization) — the extraction→resolution leg is map-only and the
+      // only joins left are the genuine fetch join + doc join
       val resolved = imgs
-        .join(d.select(col("doc_id"), pageUrl.as("page_url")), "doc_id")
         .select(col("doc_id"), col("alt"),
-          graft.ops.UrlOps.resolveUrl(col("page_url"), col("src")).as("img_url"))
+          graft.ops.UrlOps.resolveUrl(
+            concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
+              lit(".example/dir/page.html")), col("src")).as("img_url"))
       val fetched = d
         .select(
           concat(lit("https://h"), (col("doc_id") % 20).cast("string"),
@@ -1509,16 +1561,18 @@ object SparkEntry {
             col("doc_id"), lit("\">"))).otherwise(lit("")),
         lit("</head>"))
       val pages = d.select((col("doc_id") * 2).as("pid"),
-          concat(lit("https://p.ex/en/"), col("doc_id")).as("url"),
           encode(enPage, "UTF-8").as("html"))
         .unionAll(d.select((col("doc_id") * 2 + 1).as("pid"),
-          concat(lit("https://p.ex/fr/"), col("doc_id")).as("url"),
           encode(frPage, "UTF-8").as("html")))
       val alts = graft.ops.PageMeta.alternates(
         pages.select(col("pid").as("doc_id"), col("html")))
+      // page url recomputed from pid arithmetic — no pages join-back (q77's
+      // optimization, same construction)
       val withUrl = alts
-        .join(pages.select(col("pid").as("doc_id"), col("url")), "doc_id")
-        .select("url", "hreflang", "href")
+        .select(concat(lit("https://p.ex/"),
+            when(col("doc_id") % 2 === 0, lit("en")).otherwise(lit("fr")),
+            lit("/"), expr("doc_id div 2")).as("url"),
+          col("hreflang"), col("href"))
       val pairs = graft.ops.PageMeta.reciprocalAlternates(withUrl)
       val enText = d.select(concat(lit("https://p.ex/en/"), col("doc_id")).as("url1"),
         col("text").as("en_text"))
@@ -1569,8 +1623,6 @@ object SparkEntry {
       // doc_id%5==0, so the internal/external comparison is exercised
       // both ways; every 3rd doc adds a cdn edge.
       val d = docs(s, dir)
-      val srcUrl = concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
-        lit(".example/page"), col("doc_id"))
       val page = concat(
         lit("<div><a href=\"https://h"), (col("doc_id") % 10).cast("string"),
         lit(".example/in/"), col("doc_id"), lit("\">i</a>"),
@@ -1582,8 +1634,13 @@ object SparkEntry {
         lit("</div>"))
       val edges = graft.ops.PageMeta.outlinks(
         d.select(col("doc_id"), encode(page, "UTF-8").as("html"))).toDF()
+      // src_url is PURE doc_id arithmetic — recompute it on the edge rows
+      // instead of joining the documents table back; the rollup is then
+      // scan → kernel edges → one hash agg, zero joins
       graft.ops.PageMeta.hostGraph(
-        edges.join(d.select(col("doc_id"), srcUrl.as("src_url")), "doc_id"))
+        edges.withColumn("src_url",
+          concat(lit("https://h"), (col("doc_id") % 10).cast("string"),
+            lit(".example/page"), col("doc_id"))))
     }),
 
     "q83_train_shards" -> ((s, dir) =>

@@ -282,6 +282,8 @@ final class Element(var tagName: String, rawAttrsInit: String) extends DomNode {
     * physically RETURN (its `dfs` join would RangeError above that) is
     * still byte-identical, and anything larger truncates with an explicit
     * marker line instead of driving the JVM toward a 2^31 array limit.
+    * The cap is APPROXIMATE: the budget is checked before each append, so
+    * the result can exceed it by up to one line (~16 KB at max indent).
     */
   def structure: String = structureCapped(1L << 29)
 

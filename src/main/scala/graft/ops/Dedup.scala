@@ -95,7 +95,13 @@ object Dedup {
     */
   def minhashCandidates(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
-    val b = minhashBands(docs, numHashes, bands)
+    // materialize the skinny (doc_id, band, bucket) proxy table ONCE (lazy
+    // localCheckpoint — the first action computes and pins it): the cap
+    // aggregation, the membership join, and both sides of the candidate
+    // self-join all read the 20-byte rows instead of re-running the minhash
+    // UDF over the corpus per consumer (guide §8: decide on lightweight
+    // proxies computed in one pass; measured 2 full UDF passes → 1)
+    val b = minhashBands(docs, numHashes, bands).localCheckpoint(false)
     val keep = b.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket).select("band", "bucket")
     val kept = b.join(keep, Seq("band", "bucket"))
@@ -240,6 +246,11 @@ object Dedup {
     */
   def nearDupClusters(docs: DataFrame, numHashes: Int = 32, bands: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
+    // NOT checkpointed here (unlike minhashCandidates): the membership
+    // table is cache()d inside clustersFromMemberships anyway, so only the
+    // cap aggregation re-runs the minhash UDF — measured at sf0.1, a bands
+    // checkpoint UNDER that cache double-materializes nearly identical
+    // rows and costs more than the one UDF pass it saves
     val b = minhashBands(docs, numHashes, bands)
     val keep = b.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket).select("band", "bucket")
@@ -357,8 +368,13 @@ object Dedup {
         .bitwiseAND(lit(if (hi - lo == 64) -1L else (1L << (hi - lo)) - 1L))
     }
     val sh = simhash(docs)
+    // one simhash pass: the chunk table feeds the bucket-count aggregation,
+    // the small/hot splits, AND (via kept) both sides of the candidate
+    // self-join — without the checkpoint the simhash UDF re-runs over the
+    // corpus for every consumer (4 passes measured in the sf0.1 plan)
     val chunked = sh.select(col("doc_id"), col("simhash"),
       posexplode(array(chunkCols(col("simhash")): _*)).as(Seq("chunk", "cval")))
+      .localCheckpoint(false)
     val counts = chunked.groupBy("chunk", "cval").agg(count(lit(1)).as("__bn"))
     // under-cap buckets join directly; sub = -1 keeps their keys disjoint
     // from the split level below

@@ -90,7 +90,8 @@ object PageMeta {
       .flatMap(_.getAttribute("href")).getOrElse("")
     val noindex = Query.querySelector(root, s.robots)
       .flatMap(_.getAttribute("content"))
-      .exists(_.toLowerCase.split("[,\\s]+").contains("noindex"))
+      .exists(_.toLowerCase(java.util.Locale.ROOT).split("[,\\s]+")
+        .contains("noindex"))
     HeadMeta(id, title, desc, canon, noindex)
   }
 
@@ -118,7 +119,8 @@ object PageMeta {
     Query.querySelectorAll(root, s.a).iterator.flatMap { a =>
       a.getAttribute("href").map { href =>
         val nofollow = a.getAttribute("rel")
-          .exists(_.toLowerCase.split("[,\\s]+").contains("nofollow"))
+          .exists(_.toLowerCase(java.util.Locale.ROOT).split("[,\\s]+")
+            .contains("nofollow"))
         Outlink(id, href, a.text, nofollow)
       }
     }.toSeq
@@ -344,7 +346,9 @@ object PageMeta {
     var ogTitle, ogDesc, ogImage, ogUrl, ogType, twCard: String = null
     Query.querySelectorAll(root, s.meta).foreach { m =>
       val key = m.getAttribute("property").orElse(m.getAttribute("name"))
-        .map(_.toLowerCase).getOrElse("")
+        // Locale.ROOT: under a Turkish default locale 'OG:TITLE' would
+        // lowercase to a dotless-i key and silently never match
+        .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("")
       lazy val v = m.getAttribute("content").getOrElse("")
       key match {
         case "og:title" => if (ogTitle == null) ogTitle = v
@@ -475,7 +479,7 @@ object PageMeta {
     var mIdx = 0
     while (stack.nonEmpty) {
       val e = stack.remove(stack.length - 1)
-      val t = e.tagName.toLowerCase
+      val t = e.tagName.toLowerCase(java.util.Locale.ROOT)
       if (t == "video" || t == "audio" || t == "picture") {
         var item = 0
         e.getAttribute("src").foreach { src =>
@@ -679,6 +683,10 @@ object PageMeta {
         it.map { case (id, html) => (id, templateFpOf(parseBytes(html))) }
       }
       .toDF("doc_id", "template_fp")
+      // one kernel pass: the 16-byte (doc_id, fp) rows are materialized
+      // (lazy localCheckpoint) so the group aggregation and the join-back
+      // don't each re-parse the corpus
+      .localCheckpoint(false)
     val groups = fps.groupBy("template_fp")
       .agg(count(lit(1)).as("template_docs"),
         min(col("doc_id")).as("template_rep"))

@@ -117,7 +117,11 @@ object Similarity {
       (s +: Array.tabulate(math.min(nProbes, nPlanes))(p => s ^ (1 << p)).toSeq).distinct
     }
     val base = emb.select(col("vec_id"), col("embedding"))
+    // one signature pass: the bucketed table feeds the cap aggregation AND
+    // the candidate join — materialized lazily so the hyperplane-dot UDF
+    // runs once per corpus vector, not once per consumer
     val bucketed0 = base.withColumn("bucket", sigUdf(col("embedding")))
+      .localCheckpoint(false)
     val keep = bucketed0.groupBy("bucket").agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket).select("bucket")
     val bucketed = bucketed0.join(keep, "bucket")
@@ -243,7 +247,10 @@ object Similarity {
     }
 
     val base = emb.select(col("vec_id"), col("embedding"))
+    // one assignment pass (same reasoning as lshTopK's bucketed table):
+    // the cap aggregation and the probe join share the materialized lists
     val lists0 = base.withColumn("list", assignUdf(col("embedding")))
+      .localCheckpoint(false)
     val keep = lists0.groupBy("list").agg(count(lit(1)).as("__ln"))
       .filter(col("__ln") <= maxList).select("list")
     val lists = lists0.join(keep, "list")

@@ -345,6 +345,9 @@ object TextAnalysis {
         (syms.toSeq, n)
       }
       .toDF("syms", "n")
+      // EAGER checkpoint: every round's argmax + rewrite read these blocks;
+      // lazy materialization was measured SLOWER at sf0.1 (the argmax job
+      // then carries the rewrite+persist of the previous round)
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var i = 0
@@ -373,12 +376,12 @@ object TextAnalysis {
           }
           out.toSeq
         }
-        // unpersist the PREVIOUS round's checkpoint once the new one is
-        // materialized — a 30k-merge production run would otherwise pin
-        // thousands of vocab-table copies in executor storage
-        val prev = vocab
+        // NOTE: Dataset.unpersist does not free a localCheckpoint's RDD
+        // blocks (it only clears CacheManager entries); dropping the
+        // reference leaves reclamation to the ContextCleaner once the old
+        // round's RDD is unreachable — which this reassignment guarantees.
+        // A 30k-merge production run relies on that GC-driven cleanup.
         vocab = vocab.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint()
-        prev.unpersist()
         i += 1
       }
     }
@@ -485,7 +488,11 @@ object TextAnalysis {
     * broadcast-able at scale.
     */
   def dupSpanStats(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val fps = fingerprints(docs, textCol)
+    // one winnowing pass: the skinny (doc_id, fingerprint) table feeds both
+    // the spread aggregation and the join-back (the q88 dropDupSpans
+    // pattern) — without the checkpoint the rolling-hash UDF re-runs over
+    // the corpus for each consumer
+    val fps = fingerprints(docs, textCol).localCheckpoint(false)
     val spread = fps.groupBy("fingerprint")
       .agg(countDistinct("doc_id").as("ndocs"))
     fps.join(spread, "fingerprint")
@@ -582,6 +589,13 @@ object TextAnalysis {
     * slice inside codegen) — map-only, no UDF, embarrassingly parallel.
     * Tokens are the nonempty space-split words (the q85/q10 convention,
     * so the oracle's `string_split` agrees exactly).
+    *
+    * CONVENTION NOTE: when `chunkTokens > stride`, trailing chunks near
+    * the end of a document can be fully contained in the previous chunk
+    * (n=7, chunk=8, stride=3 emits 3 chunks, two wholly redundant) — the
+    * emission rule is intentionally "one chunk per stride start < n" and
+    * the q96 oracle mirrors it; dedup-sensitive consumers should drop
+    * chunks whose start+chunkTokens span is subsumed by the predecessor.
     */
   def chunkDocs(docs: DataFrame, chunkTokens: Int = 128, stride: Int = 96,
       textCol: String = "text"): DataFrame = {
@@ -609,19 +623,28 @@ object TextAnalysis {
     * signal, and unlike an n-gram LM it needs no float log-probs — exact
     * integer counts and one final division, so it hash-gates.
     *
-    * Shape: token df table (two map-side-combined aggs) then an equi-join
-    * back to token occurrences — df is vocabulary-sized, broadcast-able.
+    * Shape: occurrences PRE-AGGREGATE to (doc_id, tok, cnt) before anything
+    * shuffles on the token key (map-side combined — a stopword occurring
+    * 10^9 times costs one row per map partition, not 10^9 Zipf-skewed
+    * shuffle rows); the df table derives from the distinct per-doc tokens
+    * (count(*) over the pre-agg ≡ countDistinct(doc_id) over occurrences),
+    * and the weighted mean sum(df*cnt)/sum(cnt) reproduces the
+    * occurrence-level integers exactly. The pre-agg is materialized once
+    * (lazy localCheckpoint) so the df aggregation and the join-back share
+    * one tokenization pass; df is vocabulary-sized, broadcast-able.
     */
   def typicality(docs: DataFrame, textCol: String = "text"): DataFrame = {
     // empty tokens (from whitespace runs) would mint a "" vocab entry whose
     // df drags every such doc's mean up — filter like the sibling ops
-    val toks = docs.select(col("doc_id"),
+    val occ = docs.select(col("doc_id"),
       explode(expr(s"filter(split($textCol, ' '), x -> x <> '')")).as("tok"))
-    val dfTab = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
-    toks.join(dfTab, "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
+    val dfTab = occ.groupBy("tok").agg(count(lit(1)).as("df"))
+    occ.join(dfTab, "tok")
       .groupBy("doc_id").agg(
-        count(lit(1)).as("n_tok"),
-        sum("df").as("sum_df"))
+        sum("cnt").as("n_tok"),
+        sum(col("df") * col("cnt")).as("sum_df"))
       .withColumn("typicality",
         col("sum_df").cast("double") / col("n_tok").cast("double"))
   }
