@@ -325,8 +325,13 @@ object SparkEntry {
       // corruption in the WARC writer, the streaming record parser, the
       // envelope stripping, or the gzip framing breaks the hash.
       val tmp = s"/tmp/graft_q40_warc_${Integer.toHexString(dir.hashCode)}"
+      // shard count scales with the session's parallelism instead of a
+      // constant 8: the write and the read-back extraction then both use
+      // the full cluster (a fixed shard count serializes the gzip encode
+      // on large clusters; output rows are unaffected)
       graft.sources.WarcSource.write(
-        pagesDf(s, dir).repartition(8, col("doc_id")), tmp)
+        pagesDf(s, dir).repartition(
+          s.sparkContext.defaultParallelism, col("doc_id")), tmp)
       graft.sources.WarcSource.extract(s, tmp)
         .select(regexp_extract(col("url"), "/([0-9]+)$", 1).cast("long")
           .as("doc_id"), col("text_out"))
@@ -1597,16 +1602,20 @@ object SparkEntry {
       // ops composed; every signal is independently oracle-gated
       // elsewhere (q30/q56/q70/q27) and the CONJUNCTION is gated here.
       val d = docs(s, dir)
-      val q = graft.ops.TextAnalysis.qualityScore(d)
+      // quality score, compression ratio, and language ID are all PER-ROW
+      // functions of the same docs scan — compose them into ONE projection
+      // instead of three doc_id equi-joins (3 corpus shuffles removed;
+      // guide §2.4). Only the repetition signals genuinely aggregate, so
+      // only that one join remains.
+      val perRow = graft.ops.TextAnalysis.langId(
+        graft.ops.TextAnalysis.compressionRatio(
+          graft.ops.TextAnalysis.qualityScore(d)))
         .select(col("doc_id"), col("q_chars"), col("q_tokens"),
-          col("q_punct_ratio"))
+          col("q_punct_ratio"), col("compression_ratio"), col("lang"),
+          col("lang_guess"))
       val rep = graft.ops.TextAnalysis.repetitionSignals(d)
         .select(col("doc_id"), col("rep_pass"))
-      val comp = graft.ops.TextAnalysis.compressionRatio(d)
-        .select(col("doc_id"), col("compression_ratio"))
-      val lang = graft.ops.TextAnalysis.langId(d)
-        .select(col("doc_id"), col("lang"), col("lang_guess"))
-      q.join(rep, "doc_id").join(comp, "doc_id").join(lang, "doc_id")
+      perRow.join(rep, "doc_id")
         .withColumn("keep",
           col("q_chars") >= 60 && col("q_tokens") >= 12 &&
             col("q_punct_ratio") <= 0.3 && col("rep_pass") &&

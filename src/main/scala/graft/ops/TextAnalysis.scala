@@ -419,8 +419,11 @@ object TextAnalysis {
       expr(s"filter(split($textCol, ' '), x -> x <> '')").as("__toks"))
       .withColumn("__m", size(col("__toks")) - (n - 1))
       .filter(col("__m") >= 1)
+      // unhex: the 16 raw digest bytes join/aggregate identically to the
+      // 32-char hex string but shuffle half the bytes (guide §2.3 narrower
+      // keys); the gram value never reaches the output, only its counts
       .select(col(idAlias), explode(expr(
-        s"transform(sequence(1, __m), i -> md5(array_join(slice(__toks, i, $n), ' ')))"))
+        s"transform(sequence(1, __m), i -> unhex(md5(array_join(slice(__toks, i, $n), ' '))))"))
         .as("gram"))
 
   /** EXACT n-gram decontamination — the GPT-3-style recipe (13-gram
@@ -436,7 +439,12 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val t = wordGrams(docs, n, "doc_id", textCol)
-    val b = wordGrams(benchmark, n, "bench_id", textCol).distinct()
+    // explicit broadcast: eval sets are tiny vs the corpus by contract
+    // (see scaladoc), and size ESTIMATES after the gram explode are far too
+    // large for the planner to choose it on its own — broadcasting the
+    // benchmark grams means the corpus-side gram stream never shuffles at
+    // all (clean docs do zero shuffle work, guide §3.1)
+    val b = broadcast(wordGrams(benchmark, n, "bench_id", textCol).distinct())
     t.join(b, "gram")
       .groupBy("doc_id").agg(
         countDistinct("gram").as("n_contaminated_grams"),
