@@ -381,7 +381,11 @@ object TextAnalysis {
         // reference leaves reclamation to the ContextCleaner once the old
         // round's RDD is unreachable — which this reassignment guarantees.
         // A 30k-merge production run relies on that GC-driven cleanup.
-        vocab = vocab.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint()
+        // The LAST round's rewrite is never read (the loop exits before the
+        // next argmax), so skip building it — one full vocab rewrite +
+        // checkpoint materialization saved per call.
+        if (i + 1 < nMerges)
+          vocab = vocab.withColumn("syms", mergeUdf(col("syms"))).localCheckpoint()
         i += 1
       }
     }
