@@ -298,8 +298,12 @@ object Similarity {
     */
   def blockedNearDup(emb: DataFrame, threshold: Double, dims: Int = 8,
       maxBucket: Int = 100000): DataFrame = {
+    // one embedding-table pass: the cap aggregation and both self-join
+    // sides otherwise each re-scan the embedding source (the block key
+    // itself is cheap codegen — the saved work is the repeated scan)
     val e = emb.select(col("vec_id"), col("embedding"),
       signBlock(col("embedding"), dims).as("block"))
+      .localCheckpoint(false)
     val keep = e.groupBy("block").agg(count(lit(1)).as("__bn"))
       .filter(col("__bn") <= maxBucket).select("block")
     val kept = e.join(keep, "block")

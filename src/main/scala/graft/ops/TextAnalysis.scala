@@ -440,15 +440,19 @@ object TextAnalysis {
     * side (eval sets are tiny vs the corpus) broadcasts at scale.
     */
   def ngramContamination(docs: DataFrame, benchmark: DataFrame, n: Int = 13,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      broadcastBenchmark: Boolean = true): DataFrame = {
     require(n >= 1, "n must be >= 1")
     val t = wordGrams(docs, n, "doc_id", textCol)
-    // explicit broadcast: eval sets are tiny vs the corpus by contract
-    // (see scaladoc), and size ESTIMATES after the gram explode are far too
-    // large for the planner to choose it on its own — broadcasting the
-    // benchmark grams means the corpus-side gram stream never shuffles at
-    // all (clean docs do zero shuffle work, guide §3.1)
-    val b = broadcast(wordGrams(benchmark, n, "bench_id", textCol).distinct())
+    // explicit broadcast by default: real eval sets are tiny vs the corpus
+    // (the scaladoc contract), and size ESTIMATES after the gram explode
+    // are far too large for the planner to ever choose it on its own —
+    // broadcasting the benchmark grams means the corpus-side gram stream
+    // never shuffles at all (clean docs do zero shuffle work). A caller
+    // decontaminating against something corpus-sized passes false and
+    // gets the shuffled equi-join back.
+    val b0 = wordGrams(benchmark, n, "bench_id", textCol).distinct()
+    val b = if (broadcastBenchmark) broadcast(b0) else b0
     t.join(b, "gram")
       .groupBy("doc_id").agg(
         countDistinct("gram").as("n_contaminated_grams"),
