@@ -613,9 +613,15 @@ object PageMeta {
     * the alternates table is link-sparse and the join keys are urls.
     */
   def reciprocalAlternates(alts: DataFrame): DataFrame = {
-    val a = alts.select(col("url").as("url1"), col("hreflang").as("decl1"),
+    // materialize the skinny (url, hreflang, href) projection ONCE: both
+    // sides of the self equi-join otherwise re-evaluate the caller's whole
+    // upstream (q77/q99 feed a kernel extraction here — that was two full
+    // parse passes); the alternates table is link-sparse at any scale
+    val m = alts.select(col("url"), col("hreflang"), col("href"))
+      .localCheckpoint(false)
+    val a = m.select(col("url").as("url1"), col("hreflang").as("decl1"),
       col("href").as("href1"))
-    val b = alts.select(col("url").as("url2"), col("hreflang").as("decl2"),
+    val b = m.select(col("url").as("url2"), col("hreflang").as("decl2"),
       col("href").as("href2"))
     a.join(b, col("href1") === col("url2") && col("href2") === col("url1") &&
         col("url1") < col("url2"))
